@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.core.{Geo, Ring, SparkD, Zones}
+import graft.expr.{Cells, Morton, PointInPolygon}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned point-in-polygon join (north-star operator #1).
+  *
+  * Plan shape (scale-first):
+  *   1. polygons → rings → covered cells at `res` (bbox cover, driver/flatMap
+  *      side — rings are the small side);
+  *   2. pages carry a single Morton cell id at the same res (pure
+  *      arithmetic, broadcast-free — expr/Cells.scala);
+  *   3. cell-equi join, broadcast when the ring side is small — the cell
+  *      key IS the bbox pre-filter the reference applies before PIP
+  *      (clip_lidar_to_polygon.rs:203-229);
+  *   4. exact winding-parity PIP (expr/PointInPolygon.scala, clone of
+  *      poly_ops.rs:28-70) as the join residual;
+  *   5. hull/hole combine: inside ⇔ in ≥1 hull ring and in 0 hole rings
+  *      (clip semantics: hull parts add, holes erase —
+  *      clip_raster_to_polygon.rs:231-300).
+  *
+  * At 10^12 pages the big side is never shuffled for the join itself (hash
+  * broadcast); the only shuffle is the small post-PIP membership aggregate.
+  * If the polygon side outgrows broadcast, the same plan degrades gracefully
+  * to a shuffled equi-join on the cell key, where AQE skew-split plus the
+  * hot-cell salting in `Skew.scala` keep partitions bounded.
+  */
+object PipJoin {
+  /** Cells (Morton, at `res`) covered by a bbox — inclusive floor ranges. */
+  def coverCells(minX: Double, maxX: Double, minY: Double, maxY: Double,
+                 res: Int): Seq[Long] = {
+    val n = 1L << res
+    def clamp(v: Long) = math.min(math.max(v, 0L), n - 1)
+    def ixOf(x: Double) = clamp(math.floor((x - Geo.LonMin) / Geo.LonSpan * n).toLong)
+    def iyOf(y: Double) = clamp(math.floor((y - (-90.0)) / 180.0 * n).toLong)
+    for {
+      ix <- ixOf(minX) to ixOf(maxX)
+      iy <- iyOf(minY) to iyOf(maxY)
+    } yield Morton.encode(ix, iy, res)
+  }
+
+  /** Ring side of the join: one row per (covered cell, ring). */
+  def ringCells(spark: SparkSession, rings: Seq[Ring], res: Int): DataFrame = {
+    import spark.implicits._
+    rings.flatMap { r =>
+      coverCells(r.minX, r.maxX, r.minY, r.maxY, res)
+        .map(c => (c, r.fid, r.ringId, r.isHole, r.xs, r.ys))
+    }.toDF("cell", "fid", "ringId", "isHole", "xs", "ys")
+  }
+
+  /** Add ix/iy/cell columns at `res` to a lat/lon DataFrame. */
+  def withCell(df: DataFrame, res: Int,
+               latCol: String = "lat", lonCol: String = "lon"): DataFrame =
+    df.withColumn("ix", expr(Geo.ix(SparkD, lonCol, res)))
+      .withColumn("iy", expr(Geo.iy(SparkD, latCol, res)))
+      .withColumn("cell", Cells.mortonCell(col("ix"), col("iy"), res))
+
+  /** (doc_id, fid) membership pairs: which pages fall inside which zone. */
+  def zoneMembership(spark: SparkSession, pages: DataFrame,
+                     rings: Seq[Ring] = Zones.worldZones,
+                     res: Int = 6): DataFrame = {
+    val p = withCell(pages, res)
+    val rc = ringCells(spark, rings, res)
+    p.join(broadcast(rc), "cell")
+      .filter(PointInPolygon.pip(col("lon"), col("lat"), col("xs"), col("ys")))
+      .groupBy(col("doc_id"), col("fid"))
+      .agg(max(when(!col("isHole"), 1).otherwise(0)).as("in_hull"),
+           max(when(col("isHole"), 1).otherwise(0)).as("in_hole"))
+      .filter(col("in_hull") === 1 && col("in_hole") === 0)
+      .select("doc_id", "fid")
+  }
+}
