@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{DuckD, Geo, SparkD, Zones}
-import graft.ops.{PipJoin, Tables}
+import graft.ops.{PipJoin, Raster, Relational, Tables, Zonal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,10 @@ object SparkEntry {
   private def tileX = "cast(floor((lon - -180.0e0) / 5.0e0) as bigint)"
   private def tileY = "cast(floor((lat - -90.0e0) / 5.0e0) as bigint)"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    spatialQueries ++ Zonal.queries ++ Raster.queries ++ Relational.queries
+
+  private def spatialQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // North-star #1: PIP join + zonal count over all fixture zones.
     "pip_zonal_count" -> ((s, dir) => {
@@ -75,7 +78,10 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] =
+    spatialOracles ++ Zonal.oracles ++ Raster.oracles ++ Relational.oracles
+
+  private def spatialOracles: Map[String, String] = {
     val d = DuckD
     Map(
       "pip_zonal_count" -> {

@@ -19,6 +19,9 @@ sealed trait Dialect {
   /** bit shifts on int64 */
   def shl(e: String, n: Int): String
   def shr(e: String, n: Int): String
+  /** value of `v` on the row where `by` is max/min within the group */
+  def argMax(v: String, by: String): String
+  def argMin(v: String, by: String): String
 }
 
 /** Spark SQL (Catalyst) dialect. `conv` parses hex → decimal string. */
@@ -29,6 +32,8 @@ case object SparkD extends Dialect {
   def toStr(e: String): String = s"cast($e as string)"
   def shl(e: String, n: Int): String = s"shiftleft($e, $n)"
   def shr(e: String, n: Int): String = s"shiftright($e, $n)"
+  def argMax(v: String, by: String): String = s"max_by($v, $by)"
+  def argMin(v: String, by: String): String = s"min_by($v, $by)"
 }
 
 /** DuckDB dialect (the driver's oracle engine). */
@@ -39,6 +44,8 @@ case object DuckD extends Dialect {
   def toStr(e: String): String = s"cast($e as varchar)"
   def shl(e: String, n: Int): String = s"(($e) << $n)"
   def shr(e: String, n: Int): String = s"(($e) >> $n)"
+  def argMax(v: String, by: String): String = s"arg_max($v, $by)"
+  def argMin(v: String, by: String): String = s"arg_min($v, $by)"
 }
 
 /** SQL double literals. Bare fractional literals parse as DECIMAL in both
@@ -105,11 +112,11 @@ object Geo {
 
   /** The pages view derived from the `documents` table (FIXTURES.md §1):
     * url from doc_id, text carried byte-identically, lat/lon geocoded. */
-  def pagesCte(d: Dialect): String =
+  def pagesCte(dl: Dialect): String =
     s"""SELECT doc_id,
-       |  'https://site-' || ${d.toStr("doc_id % 997")} || '.example/p/' || ${d.toStr("doc_id")} AS url,
-       |  text, lang,
-       |  ${lat(d)} AS lat,
-       |  ${lon(d)} AS lon
+       |  'https://site-' || ${dl.toStr("doc_id % 997")} || '.example/p/' || ${dl.toStr("doc_id")} AS url,
+       |  text, lang, source, n_chars,
+       |  ${lat(dl)} AS lat,
+       |  ${lon(dl)} AS lon
        |FROM documents""".stripMargin.replace("\n", " ")
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.core.{Dialect, DuckD, Geo, SparkD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raster family re-expressed over the page grid: rasterization
+  * (vector_points_to_raster.rs:364-372 assign semantics), raster→vector
+  * points (raster_to_vector_points.rs:211-218), AggregateRaster
+  * (aggregate_raster.rs:56-75), N-way overlays (average_overlay.rs:168-260),
+  * RasterSummaryStats (raster/mod.rs:800-872).
+  *
+  * A "raster" here is the long-form page-density grid: one row per
+  * non-empty cell (ix, iy, v). At 10^12 pages the density grid at res R is
+  * bounded by 4^R cells, not by input rows — groupBy(cell) does a map-side
+  * partial count first, so the shuffle carries at most one row per cell per
+  * task. No driver-side state anywhere.
+  */
+object Raster {
+
+  /** density grid SQL fragment (dialect-shared except pages derivation) */
+  private def densitySelect(dl: Dialect, res: Int): String =
+    s"SELECT ${Geo.ix(dl, "lon", res)} AS ix, ${Geo.iy(dl, "lat", res)} AS iy, " +
+      s"count(*) AS v FROM pages GROUP BY 1, 2"
+
+  /** Spark-side density grid. */
+  def density(s: SparkSession, dir: String, res: Int): DataFrame =
+    Tables.pages(s, dir)
+      .withColumn("ix", expr(Geo.ix(SparkD, "lon", res)))
+      .withColumn("iy", expr(Geo.iy(SparkD, "lat", res)))
+      .groupBy("ix", "iy").agg(count(lit(1)).as("v"))
+
+  /** Reference nodata discipline stand-in: a deterministic stripe of cells
+    * is declared nodata ((ix+iy) % 13 == 0), mirroring FIXTURES.md §3. */
+  val nodataCond = "((ix + iy) % 13) = 0"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // VectorPointsToRaster with all assign modes at once:
+    // first/last (record-order = doc_id), min/max/sum of n_chars + count.
+    "rasterize_points" -> ((s, dir) => {
+      Tables.pages(s, dir)
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 7)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 7)))
+        .groupBy("ix", "iy")
+        .agg(expr("min_by(n_chars, doc_id)").as("v_first"),
+             expr("max_by(n_chars, doc_id)").as("v_last"),
+             min("n_chars").as("v_min"), max("n_chars").as("v_max"),
+             expr("cast(sum(n_chars) as bigint)").as("v_sum"),
+             count(lit(1)).as("n"))
+        .orderBy("ix", "iy")
+    }),
+
+    // RasterToVectorPoints: non-zero, non-nodata cells → cell-centre points.
+    "raster_to_points" -> ((s, dir) => {
+      val res = 6; val rx = 360.0 / (1 << res); val ry = 180.0 / (1 << res)
+      density(s, dir, res)
+        .filter(!expr(nodataCond) && col("v") =!= 0)
+        .withColumn("x", expr(s"-180.0e0 + ${rx}e0 / 2.0e0 + ix * ${rx}e0"))
+        .withColumn("y", expr(s"-90.0e0 + ${ry}e0 / 2.0e0 + iy * ${ry}e0"))
+        .select("ix", "iy", "x", "y", "v")
+        .orderBy("ix", "iy")
+    }),
+
+    // AggregateRaster: downsample density by agg_factor 4 (res 7 → res 5).
+    "aggregate_raster" -> ((s, dir) => {
+      density(s, dir, 7)
+        .groupBy(expr("ix div 4").as("ax"), expr("iy div 4").as("ay"))
+        .agg(expr("cast(sum(v) as bigint)").as("v_sum"),
+             expr("cast(sum(v) as double) / cast(count(*) as double)").as("v_mean"),
+             min("v").as("v_min"), max("v").as("v_max"))
+        .orderBy("ax", "ay")
+    }),
+
+    // Average/Sum/Max/Min Overlay across 3 same-grid layers (per-language
+    // density rasters); a layer missing a cell contributes no row.
+    "overlay_stack" -> ((s, dir) => {
+      val p = Tables.pages(s, dir).filter(col("lang").isin("en", "zh", "es"))
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 5)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 5)))
+      val layers = p.groupBy("lang", "ix", "iy").agg(count(lit(1)).as("v"))
+      layers.groupBy("ix", "iy")
+        .agg(expr("cast(sum(v) as double) / cast(count(*) as double)").as("v_avg"),
+             expr("cast(sum(v) as bigint)").as("v_sum"),
+             max("v").as("v_max"), min("v").as("v_min"),
+             count(lit(1)).as("n_layers"))
+        .orderBy("ix", "iy")
+    }),
+
+    // Global raster summary stats over the density grid (exact-int mean/std).
+    "raster_summary_stats" -> ((s, dir) => {
+      density(s, dir, 6)
+        .agg(expr("cast(sum(v) as bigint)").as("s"),
+             expr("cast(sum(v * v) as bigint)").as("q"),
+             count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+        .selectExpr(Zonal.statsSelect: _*)
+    })
+  )
+
+  private val pagesWith = s"WITH pages AS (${Geo.pagesCte(DuckD)})"
+
+  def oracles: Map[String, String] = Map(
+    "rasterize_points" -> {
+      val d = DuckD
+      s"$pagesWith SELECT ${Geo.ix(d, "lon", 7)} AS ix, ${Geo.iy(d, "lat", 7)} AS iy, " +
+        s"${d.argMin("n_chars", "doc_id")} AS v_first, ${d.argMax("n_chars", "doc_id")} AS v_last, " +
+        s"min(n_chars) AS v_min, max(n_chars) AS v_max, " +
+        s"cast(sum(n_chars) as bigint) AS v_sum, count(*) AS n " +
+        s"FROM pages GROUP BY 1, 2 ORDER BY ix, iy"
+    },
+    "raster_to_points" -> {
+      val res = 6; val rx = 360.0 / (1 << res); val ry = 180.0 / (1 << res)
+      s"$pagesWith, g AS (${densitySelect(DuckD, res)}) " +
+        s"SELECT ix, iy, -180.0e0 + ${rx}e0 / 2.0e0 + ix * ${rx}e0 AS x, " +
+        s"-90.0e0 + ${ry}e0 / 2.0e0 + iy * ${ry}e0 AS y, v FROM g " +
+        s"WHERE NOT ($nodataCond) AND v <> 0 ORDER BY ix, iy"
+    },
+    "aggregate_raster" ->
+      (s"$pagesWith, g AS (${densitySelect(DuckD, 7)}) " +
+        s"SELECT ${DuckD.idiv("ix", "4")} AS ax, ${DuckD.idiv("iy", "4")} AS ay, " +
+        s"cast(sum(v) as bigint) AS v_sum, " +
+        s"cast(sum(v) as double) / cast(count(*) as double) AS v_mean, " +
+        s"min(v) AS v_min, max(v) AS v_max FROM g GROUP BY 1, 2 ORDER BY ax, ay"),
+    "overlay_stack" ->
+      (s"$pagesWith, layers AS (SELECT lang, ${Geo.ix(DuckD, "lon", 5)} AS ix, " +
+        s"${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS v FROM pages " +
+        s"WHERE lang IN ('en', 'zh', 'es') GROUP BY 1, 2, 3) " +
+        s"SELECT ix, iy, cast(sum(v) as double) / cast(count(*) as double) AS v_avg, " +
+        s"cast(sum(v) as bigint) AS v_sum, max(v) AS v_max, min(v) AS v_min, " +
+        s"count(*) AS n_layers FROM layers GROUP BY 1, 2 ORDER BY ix, iy"),
+    "raster_summary_stats" ->
+      (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
+        s"SELECT ${Zonal.statsSelect.mkString(", ")} FROM " +
+        s"(SELECT cast(sum(v) as bigint) AS s, cast(sum(v * v) as bigint) AS q, " +
+        s"count(*) AS n, min(v) AS mn, max(v) AS mx FROM g) t")
+  )
+}

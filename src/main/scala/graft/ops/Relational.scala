@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.core.{DuckD, Geo, SparkD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / attribute-table family: JoinTables (join_tables.rs:315-345 —
+  * left outer, duplicate-fkey last-wins), MergeVectors (field intersection —
+  * attributes.rs:132-166), Reclass (reclass.rs:57-67), Quantiles
+  * (quantiles.rs), CrossTabulation, ListUniqueValues,
+  * EliminateCoincidentPoints, ExtractRasterValuesAtPoints, plus an events
+  * windowed aggregation (batch twin of the streaming pipeline).
+  */
+object Relational {
+
+  /** Reclass ranges over n_chars (reference assigns f64 class values). */
+  private val reclassCase =
+    "CASE WHEN n_chars < 100 THEN 1.0e0 WHEN n_chars < 200 THEN 2.0e0 " +
+      "WHEN n_chars < 300 THEN 3.0e0 WHEN n_chars < 400 THEN 4.0e0 ELSE 5.0e0 END"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JoinTables: left=customer, right=orders keyed by o_custkey (dups);
+    // duplicate-fkey last-wins = attributes of the max-o_orderkey row;
+    // misses → NULL (left outer). Broadcast-eligible build side.
+    "join_tables" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer").select("c_custkey", "c_name")
+      val lastOrder = Tables.table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(expr("max_by(o_totalprice, o_orderkey)").as("last_total"),
+             expr("max_by(o_orderdate, o_orderkey)").as("last_date"),
+             count(lit(1)).as("n_orders"))
+      cust.join(lastOrder, Seq("c_custkey"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .orderBy("c_custkey")
+    }),
+
+    // MergeVectors: two layers with different extra fields → union over the
+    // schema intersection (fields present in both, matched by name+type).
+    "merge_vectors" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val a = docs.filter(col("lang") === "en").select("doc_id", "text", "lang", "source")
+      val b = docs.filter(col("lang") === "zh").select("doc_id", "text", "lang", "n_chars")
+      mergeVectors(a, b).orderBy("doc_id")
+    }),
+
+    "reclass" -> ((s, dir) => {
+      Tables.pages(s, dir)
+        .select(col("doc_id"), expr(reclassCase).as("class"))
+        .orderBy("doc_id")
+    }),
+
+    // Quantiles: 4 quantile bins by (n_chars, doc_id) total order.
+    "quantiles" -> ((s, dir) => {
+      Tables.pages(s, dir)
+        .withColumn("bin", ntile(4).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+        .select("doc_id", "n_chars", "bin")
+        .orderBy("doc_id")
+    }),
+
+    "cross_tabulation" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "source")
+    }),
+
+    "list_unique_values" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // EliminateCoincidentPoints: snap to a res-10 cell, keep the first
+    // record in scan order (= min doc_id — the reference keeps the first
+    // inserted point, eliminate_coincident_points.rs:13-22).
+    "eliminate_coincident_points" -> ((s, dir) => {
+      Tables.pages(s, dir)
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 10)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 10)))
+        .groupBy("ix", "iy")
+        .agg(min("doc_id").as("kept_doc"), (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy("ix", "iy")
+    }),
+
+    // ExtractRasterValuesAtPoints: sample the density raster at each page —
+    // expressed as a window count over the page's own cell (no join).
+    "extract_values_at_points" -> ((s, dir) => {
+      Tables.pages(s, dir)
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 6)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 6)))
+        .withColumn("value1", count(lit(1)).over(Window.partitionBy("ix", "iy")))
+        .select("doc_id", "value1")
+        .orderBy("doc_id")
+    }),
+
+    // Events: tumbling 1-hour windowed aggregation (batch twin of the
+    // streaming pipeline in graft.streaming).
+    "events_hourly" -> ((s, dir) => {
+      Tables.table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), expr("round(sum(value), 6)").as("v_sum"))
+        .orderBy("hour", "event_type")
+    })
+  )
+
+  /** MergeVectors core: union over the by-name-and-type field intersection,
+    * preserving left's column order (attributes.rs:132-166). */
+  def mergeVectors(a: DataFrame, b: DataFrame): DataFrame = {
+    val bTypes = b.schema.map(f => f.name -> f.dataType).toMap
+    val common = a.schema.filter(f => bTypes.get(f.name).contains(f.dataType)).map(_.name)
+    require(common.nonEmpty, "MergeVectors: no common fields")
+    a.select(common.map(col): _*).unionByName(b.select(common.map(col): _*))
+  }
+
+  private val pagesWith = s"WITH pages AS (${Geo.pagesCte(DuckD)})"
+
+  def oracles: Map[String, String] = Map(
+    "join_tables" ->
+      ("SELECT c.c_custkey, c.c_name, t.last_total, t.last_date, " +
+        "coalesce(t.n_orders, 0) AS n_orders FROM customer c LEFT JOIN " +
+        s"(SELECT o_custkey, ${DuckD.argMax("o_totalprice", "o_orderkey")} AS last_total, " +
+        s"${DuckD.argMax("o_orderdate", "o_orderkey")} AS last_date, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1) t ON c.c_custkey = t.o_custkey ORDER BY c_custkey"),
+    "merge_vectors" ->
+      ("SELECT doc_id, text, lang FROM documents WHERE lang = 'en' " +
+        "UNION ALL SELECT doc_id, text, lang FROM documents WHERE lang = 'zh' " +
+        "ORDER BY doc_id"),
+    "reclass" ->
+      s"$pagesWith SELECT doc_id, $reclassCase AS class FROM pages ORDER BY doc_id",
+    "quantiles" ->
+      (s"$pagesWith SELECT doc_id, n_chars, " +
+        "ntile(4) OVER (ORDER BY n_chars, doc_id) AS bin FROM pages ORDER BY doc_id"),
+    "cross_tabulation" ->
+      "SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY lang, source",
+    "list_unique_values" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY 1 ORDER BY lang",
+    "eliminate_coincident_points" ->
+      (s"$pagesWith SELECT ${Geo.ix(DuckD, "lon", 10)} AS ix, ${Geo.iy(DuckD, "lat", 10)} AS iy, " +
+        "min(doc_id) AS kept_doc, count(*) - 1 AS n_dropped FROM pages " +
+        "GROUP BY 1, 2 ORDER BY ix, iy"),
+    "extract_values_at_points" ->
+      (s"$pagesWith SELECT doc_id, count(*) OVER (PARTITION BY ${Geo.ix(DuckD, "lon", 6)}, " +
+        s"${Geo.iy(DuckD, "lat", 6)}) AS value1 FROM pages ORDER BY doc_id"),
+    "events_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
+        "round(sum(value), 6) AS v_sum FROM events GROUP BY 1, 2 ORDER BY hour, event_type")
+  )
+}
