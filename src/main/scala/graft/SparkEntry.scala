@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{DuckD, Geo, SparkD, Zones}
-import graft.ops.{PipJoin, Raster, Relational, Tables, Zonal}
+import graft.ops.{Knn, PipJoin, Raster, Relational, Tables, Zonal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,7 +28,8 @@ object SparkEntry {
   private def tileY = "cast(floor((lat - -90.0e0) / 5.0e0) as bigint)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    spatialQueries ++ Zonal.queries ++ Raster.queries ++ Relational.queries
+    spatialQueries ++ Zonal.queries ++ Raster.queries ++ Relational.queries ++
+      Knn.queries
 
   private def spatialQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -79,7 +80,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    spatialOracles ++ Zonal.oracles ++ Raster.oracles ++ Relational.oracles
+    spatialOracles ++ Zonal.oracles ++ Raster.oracles ++ Relational.oracles ++
+      Knn.oracles
 
   private def spatialOracles: Map[String, String] = {
     val d = DuckD

@@ -87,6 +87,22 @@ object Raster {
         .orderBy("ix", "iy")
     }),
 
+    // VectorHexBinning (vector_hex_bin.rs): nearest-hex-centre assignment
+    // via the codegen'd HexBinAssign expression; extent from the data.
+    "hex_binning" -> ((s, dir) => {
+      val p = Tables.pages(s, dir)
+      val ext = p.agg(min("lon").as("minx"), min("lat").as("miny"),
+                      max("lon").as("maxx"), max("lat").as("maxy"))
+      p.crossJoin(broadcast(ext))
+        .withColumn("h", graft.expr.HexBin.hexBin(
+          col("lon"), col("lat"), col("minx"), col("miny"),
+          col("maxx"), col("maxy"), 10.0))
+        .groupBy(expr("h >> 32").as("hex_row"),
+                 expr("h & 4294967295").as("hex_col"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hex_row", "hex_col")
+    }),
+
     // Global raster summary stats over the density grid (exact-int mean/std).
     "raster_summary_stats" -> ((s, dir) => {
       density(s, dir, 6)
@@ -128,6 +144,14 @@ object Raster {
         s"SELECT ix, iy, cast(sum(v) as double) / cast(count(*) as double) AS v_avg, " +
         s"cast(sum(v) as bigint) AS v_sum, max(v) AS v_max, min(v) AS v_min, " +
         s"count(*) AS n_layers FROM layers GROUP BY 1, 2 ORDER BY ix, iy"),
+    "hex_binning" -> {
+      val h = graft.expr.HexBin.assignSql("lon", "lat", "minx", "miny", "maxx", "maxy", 10.0)
+      s"$pagesWith, ext AS (SELECT min(lon) AS minx, min(lat) AS miny, " +
+        "max(lon) AS maxx, max(lat) AS maxy FROM pages), " +
+        s"assigned AS (SELECT $h AS h FROM pages, ext) " +
+        "SELECT (h >> 32) AS hex_row, (h & 4294967295) AS hex_col, count(*) AS n " +
+        "FROM assigned GROUP BY 1, 2 ORDER BY hex_row, hex_col"
+    },
     "raster_summary_stats" ->
       (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
         s"SELECT ${Zonal.statsSelect.mkString(", ")} FROM " +
