@@ -22,6 +22,15 @@ sealed trait Dialect {
   /** value of `v` on the row where `by` is max/min within the group */
   def argMax(v: String, by: String): String
   def argMin(v: String, by: String): String
+  /** bitwise xor on int64 */
+  def bitXor(a: String, b: String): String
+  /** char 8-gram shingles of `text` as an array (≥1 shingle, short texts
+    * yield the whole text) */
+  def shingles(t: String): String
+  /** whitespace tokens of `text` as an array */
+  def tokens(t: String): String
+  /** element i (1-based) of a float array, as double */
+  def elemD(arr: String, i: Int): String
 }
 
 /** Spark SQL (Catalyst) dialect. `conv` parses hex → decimal string. */
@@ -34,6 +43,11 @@ case object SparkD extends Dialect {
   def shr(e: String, n: Int): String = s"shiftright($e, $n)"
   def argMax(v: String, by: String): String = s"max_by($v, $by)"
   def argMin(v: String, by: String): String = s"min_by($v, $by)"
+  def bitXor(a: String, b: String): String = s"($a ^ $b)"
+  def shingles(t: String): String =
+    s"transform(sequence(1, greatest(length($t) - 7, 1)), i -> substring($t, i, 8))"
+  def tokens(t: String): String = s"split($t, '\\\\s+')"
+  def elemD(arr: String, i: Int): String = s"cast(element_at($arr, $i) as double)"
 }
 
 /** DuckDB dialect (the driver's oracle engine). */
@@ -46,6 +60,11 @@ case object DuckD extends Dialect {
   def shr(e: String, n: Int): String = s"(($e) >> $n)"
   def argMax(v: String, by: String): String = s"arg_max($v, $by)"
   def argMin(v: String, by: String): String = s"arg_min($v, $by)"
+  def bitXor(a: String, b: String): String = s"xor($a, $b)"
+  def shingles(t: String): String =
+    s"list_transform(range(1, greatest(length($t) - 7, 1) + 1), i -> substring($t, i, 8))"
+  def tokens(t: String): String = s"regexp_split_to_array($t, '\\s+')"
+  def elemD(arr: String, i: Int): String = s"(($arr)[$i]::double)"
 }
 
 /** SQL double literals. Bare fractional literals parse as DECIMAL in both

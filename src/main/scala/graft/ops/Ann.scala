@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.core.{Dialect, DuckD, Lit, SparkD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * float[64], label).
+  *
+  *   - Brute-force cosine top-k: the correctness baseline. The query set is
+  *     small and broadcast; the corpus side streams — at 10^12 vectors this
+  *     is one scan, no shuffle of the big side, cost k·|Q| state per task.
+  *   - Sign-LSH bucketing: 16 axis-aligned hyperplanes (deterministic
+  *     seeded coordinate choice) → 16-bit bucket id; the scale path for
+  *     candidate generation.
+  *   - Embedding near-dup: cosine ≥ threshold among same-bucket pairs,
+  *     verified by the oracle brute force (blocking recall is part of the
+  *     spec: only same-bucket pairs are reported, both engines identically).
+  *
+  * Dot products accumulate left-to-right in DOUBLE on both engines
+  * (Spark `aggregate` over zip_with; DuckDB list_reduce) and scores are
+  * rounded to 6 decimals before ranking, with vec_id tie-breaks, so the
+  * oracle comparison is exact.
+  */
+object Ann {
+
+  private val dim = 64
+  private val k = 10
+
+  /** Spark: L2R double dot product of two float arrays. */
+  private val sparkDot =
+    "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0e0 as double), (acc, v) -> acc + v)"
+
+  /** DuckDB twin: list_reduce accumulates left-to-right starting from the
+    * first element — identical to Spark's aggregate with 0.0 seed, since
+    * 0.0 + p₁ ≡ p₁ in IEEE-754. */
+  private val duckDot =
+    "list_reduce(list_transform(list_zip(ea, eb), p -> p[1]::double * p[2]::double), " +
+      "(acc, v) -> acc + v)"
+
+  private def norm(dot: String) = s"sqrt($dot)"
+
+  // 16 deterministic axis coordinates (1-based) for the sign-LSH planes.
+  private val lshCoords: Seq[Int] = (0 until 16).map(i => (i * 37 + 11) % dim + 1)
+
+  private def lshBucket(d: Dialect, arr: String): String =
+    lshCoords.zipWithIndex.map { case (c, i) =>
+      s"(CASE WHEN ${d.elemD(arr, c)} > 0.0e0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-k for query vectors vec_id < 10.
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos", expr(
+          s"round(($sparkDot) / (${norm(sparkDot.replace("eb", "ea"))} * ${norm(sparkDot.replace("ea", "eb"))}), 6)"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))))
+        .filter(col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+        .orderBy("qid", "rank")
+    }),
+
+    // Sign-LSH bucket id per vector (the IVF-style scale path).
+    "ann_lsh_buckets" -> ((s, dir) => {
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr(lshBucket(SparkD, "embedding")).as("bucket"))
+        .orderBy("vec_id")
+    }),
+
+    // Near-duplicate embeddings: same LSH bucket AND cosine ≥ 0.95.
+    "embedding_neardup" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr(lshBucket(SparkD, "embedding")).as("bucket"),
+          col("embedding"))
+      val l = emb.toDF("a", "bucket", "ea")
+      val r = emb.toDF("b", "bucket", "eb")
+      l.join(r, Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos", expr(
+          s"round(($sparkDot) / (${norm(sparkDot.replace("eb", "ea"))} * ${norm(sparkDot.replace("ea", "eb"))}), 6)"))
+        .filter(col("cos") >= 0.95)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val cosDuck =
+      s"round(($duckDot) / (${norm(duckDot.replace("eb", "ea"))} * ${norm(duckDot.replace("ea", "eb"))}), 6)"
+    Map(
+      "ann_cosine_topk" ->
+        ("WITH q AS (SELECT vec_id AS qid, embedding AS ea FROM embeddings WHERE vec_id < 10), " +
+          "c AS (SELECT vec_id AS nid, embedding AS eb FROM embeddings), " +
+          s"scored AS (SELECT qid, nid, $cosDuck AS cos FROM q, c WHERE nid <> qid), " +
+          "r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored) " +
+          s"SELECT qid, rank, nid, cos FROM r WHERE rank <= $k ORDER BY qid, rank"),
+      "ann_lsh_buckets" ->
+        (s"SELECT vec_id, ${lshBucket(DuckD, "embedding")} AS bucket " +
+          "FROM embeddings ORDER BY vec_id"),
+      "embedding_neardup" ->
+        (s"WITH e AS (SELECT vec_id, ${lshBucket(DuckD, "embedding")} AS bucket, embedding FROM embeddings) " +
+          "SELECT l.vec_id AS a, r.vec_id AS b, " +
+          cosDuck.replace("ea", "l.embedding").replace("eb", "r.embedding") + " AS cos " +
+          "FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id " +
+          "WHERE " + cosDuck.replace("ea", "l.embedding").replace("eb", "r.embedding") + " >= 0.95e0 " +
+          "ORDER BY a, b")
+    )
+  }
+}

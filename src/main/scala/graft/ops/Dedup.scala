@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.core.{Dialect, DuckD, SparkD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for the training-data pipeline:
+  *
+  *   - MinHash + LSH: char-8-gram shingles → 16 md5-derived min-hashes →
+  *     8 bands of 2 → candidate pairs where any band collides. This is the
+  *     scale path: cost is linear in corpus size + band-bucket joins; no
+  *     all-pairs product ever materialises.
+  *   - n-gram Jaccard verify: exact Jaccard similarity computed ONLY on the
+  *     LSH candidate pairs (classic candidate-then-verify architecture).
+  *   - SimHash: 32-bit token-hash sign aggregate; near-dup pairs found by
+  *     the 4×8-bit chunk pigeonhole join (hamming ≤ 3 ⇒ ≥1 chunk equal),
+  *     verified with bit_count(xor) ≤ 3. The oracle does the brute-force
+  *     all-pairs scan, proving the chunk blocking loses nothing.
+  *
+  * All hashes are md5-hex-derived integers (core/Dialect.md5Bits) so the
+  * DuckDB oracle is bit-exact.
+  */
+object Dedup {
+
+  private val nHashes = 16
+  private val bands = 8 // of 2 rows each
+
+  private def minhashAggs(d: Dialect): Seq[String] =
+    (0 until nHashes).map { j =>
+      s"min(${d.md5Bits(s"(sh || '#$j')", 1)}) AS m$j"
+    }
+
+  /** Spark-side signature table: doc_id, m0..m15. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val exploded = docs.select(col("doc_id"),
+      explode(expr(SparkD.shingles("text"))).as("sh"))
+    exploded.groupBy("doc_id").agg(
+      expr(minhashAggs(SparkD).head).as("m0"),
+      minhashAggs(SparkD).tail.map(a => expr(a)): _*)
+  }
+
+  private def duckSignatures: String =
+    s"sigs AS (SELECT doc_id, ${minhashAggs(DuckD).mkString(", ")} FROM " +
+      s"(SELECT doc_id, unnest(${DuckD.shingles("text")}) AS sh FROM documents) t GROUP BY doc_id)"
+
+  // ---- SimHash ----
+
+  private def simhashSums(d: Dialect): Seq[String] =
+    (0 until 32).map { i =>
+      s"sum(CASE WHEN (${d.shr("th", i)} & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }
+
+  private val simhashPack: String =
+    (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private def simhashTable(d: Dialect): String = d match {
+    case DuckD =>
+      s"toks AS (SELECT doc_id, ${d.md5Bits("tok", 1)} AS th FROM " +
+        s"(SELECT doc_id, unnest(${d.tokens("text")}) AS tok FROM documents) t), " +
+        s"sums AS (SELECT doc_id, ${simhashSums(d).mkString(", ")} FROM toks GROUP BY doc_id), " +
+        s"sh AS (SELECT doc_id, $simhashPack AS simhash FROM sums)"
+    case SparkD => "" // Spark side built with the DataFrame API below
+  }
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(SparkD.tokens("text"))).as("tok"))
+      .withColumn("th", expr(SparkD.md5Bits("tok", 1)))
+    val sums = toks.groupBy("doc_id").agg(
+      expr(simhashSums(SparkD).head).as("s0"),
+      simhashSums(SparkD).tail.map(expr): _*)
+    sums.select(col("doc_id"), expr(simhashPack).as("simhash"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MinHash signatures (exact-int oracle twin).
+    "dedup_minhash_signatures" -> ((s, dir) => {
+      signatures(s, dir).orderBy("doc_id")
+    }),
+
+    // LSH candidate pairs: any of the 8 (h1,h2) bands collide.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sig = signatures(s, dir)
+      val bandDf = sig.selectExpr("doc_id",
+        s"stack($bands, ${(0 until bands).map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")}) AS (band, h1, h2)")
+      val l = bandDf.toDF("a", "band", "h1", "h2")
+      val r = bandDf.toDF("b", "band", "h1", "h2")
+      l.join(r, Seq("band", "h1", "h2"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .orderBy("a", "b")
+    }),
+
+    // Exact n-gram Jaccard on the LSH candidates (verify stage).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val cand = queries("dedup_minhash_lsh")(s, dir)
+      val shs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(${SparkD.shingles("text")})")).as("sh"))
+      val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val common = cand
+        .join(shs.toDF("a", "sh"), "a")
+        .join(shs.toDF("b", "sh2"), "b")
+        .filter(col("sh") === col("sh2"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      cand.join(common, Seq("a", "b"), "left")
+        .withColumn("common", coalesce(col("common"), lit(0L)))
+        .join(sizes.toDF("a", "na"), "a")
+        .join(sizes.toDF("b", "nb"), "b")
+        .withColumn("jaccard", expr(
+          "cast(common as double) / cast(na + nb - common as double)"))
+        .select("a", "b", "na", "nb", "common", "jaccard")
+        .orderBy("a", "b")
+    }),
+
+    // SimHash per document.
+    "dedup_simhash" -> ((s, dir) => {
+      simhashes(s, dir).orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs via chunk-blocking join; oracle brute-forces.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sh = simhashes(s, dir)
+      val chunks = sh.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("ci"))
+        .withColumn("chunk", expr("(simhash >> (ci * 8)) & 255"))
+      val l = chunks.toDF("a", "sha", "ci", "chunk")
+      val r = chunks.toDF("b", "shb", "ci", "chunk")
+      l.join(r, Seq("ci", "chunk"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "sha", "shb").distinct()
+        .filter(expr(s"bit_count(${SparkD.bitXor("sha", "shb")}) <= 3"))
+        .withColumn("hamming", expr(s"bit_count(${SparkD.bitXor("sha", "shb")})"))
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    })
+  )
+
+  private def duckBandRows: String =
+    "bandrows AS (" + (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} AS h1, m${2 * b + 1} AS h2 FROM sigs")
+      .mkString(" UNION ALL ") + ")"
+
+  private def duckCand: String =
+    duckBandRows + ", cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b " +
+      "FROM bandrows l JOIN bandrows r ON l.band = r.band AND l.h1 = r.h1 " +
+      "AND l.h2 = r.h2 AND l.doc_id < r.doc_id)"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_minhash_signatures" ->
+      s"WITH $duckSignatures SELECT * FROM sigs ORDER BY doc_id",
+    "dedup_minhash_lsh" ->
+      s"WITH $duckSignatures, $duckCand SELECT a, b FROM cand ORDER BY a, b",
+    "dedup_ngram_jaccard" ->
+      (s"WITH $duckSignatures, $duckCand, " +
+        s"shs AS (SELECT doc_id, unnest(list_distinct(${DuckD.shingles("text")})) AS sh FROM documents), " +
+        "sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id), " +
+        "cm AS (SELECT c.a, c.b, count(*) AS common FROM cand c " +
+        "JOIN shs sa ON sa.doc_id = c.a JOIN shs sb ON sb.doc_id = c.b AND sb.sh = sa.sh " +
+        "GROUP BY c.a, c.b) " +
+        "SELECT c.a AS a, c.b AS b, za.nsh AS na, zb.nsh AS nb, coalesce(cm.common, 0) AS common, " +
+        "cast(coalesce(cm.common, 0) as double) / cast(za.nsh + zb.nsh - coalesce(cm.common, 0) as double) AS jaccard " +
+        "FROM cand c JOIN sizes za ON za.doc_id = c.a JOIN sizes zb ON zb.doc_id = c.b " +
+        "LEFT JOIN cm ON cm.a = c.a AND cm.b = c.b ORDER BY c.a, c.b"),
+    "dedup_simhash" ->
+      (s"WITH ${simhashTable(DuckD)} SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
+    "dedup_simhash_pairs" ->
+      (s"WITH ${simhashTable(DuckD)} " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        s"bit_count(${DuckD.bitXor("a.simhash", "b.simhash")}) AS hamming " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        s"WHERE bit_count(${DuckD.bitXor("a.simhash", "b.simhash")}) <= 3 " +
+        "ORDER BY a, b")
+  )
+}
