@@ -1,24 +1,92 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.io.{Commit, PageGen}
+import graft.ops.PipJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Two parts:
+  *   1. headline query timings at SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS;
+  *   2. the BASELINE.md scaling protocol: the flagship job (geocode → cell
+  *      assign → PIP join → zonal agg → committed write) over a generated
+  *      1M-page corpus at local[8] (=N) and local[32] (=4N), reporting
+  *      pages/sec at each and efficiency = pps32 / (4 · pps8).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  val headline: Seq[String] = Seq(
+    "pip_zonal_count", "tile_assignment", "cell_encode", "hex_binning",
+    "rasterize_points", "zonal_statistics", "knn_radius", "idw_interpolation",
+    "dedup_minhash_lsh", "ann_cosine_topk")
+
+  private def session(cores: Int, app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Flagship pipeline over a raw page-corpus parquet: geocode → cell →
+    * PIP join → zonal counts → committed write with lineage. */
+  def flagship(spark: SparkSession, corpusPath: String, outPath: String): Long = {
+    import graft.core.{Geo, SparkD}
+    val pages = spark.read.parquet(corpusPath)
+      .withColumn("lat", expr(Geo.lat(SparkD)))
+      .withColumn("lon", expr(Geo.lon(SparkD)))
+    val m = PipJoin.zoneMembership(spark, pages)
+    val zonal = m.groupBy("fid").agg(count(lit(1)).as("n_pages"))
+    Commit.write(spark, zonal, outPath, Seq(corpusPath, "zones:worldZones", "res:6")).rows
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/bench_data")
+    val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "16000000").toLong
+
+    // ---- part 1: headline query timings -------------------------------
+    val spark = session(cpus, "graft-bench")
+    val corpus = PageGen.ensure(spark, benchDir, corpusN)
+    val warmCorpus = PageGen.ensure(spark, benchDir, math.max(corpusN / 20, 1000))
+    // session warmup: pay codegen/JIT once, outside the timings
+    try SparkEntry.queries("cell_encode")(spark, sfDir).count()
+    catch { case _: Throwable => }
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // ---- part 2: scaling protocol (N=8 vs 4N=32 threads) --------------
+    def timedRun(cores: Int): Double = {
+      val s = session(cores, s"graft-scale-$cores")
+      // warmup: JIT + codegen on a small corpus, not timed (unique path so
+      // the committed-snapshot resume logic never skips it)
+      flagship(s, warmCorpus, s"$benchDir/out_warm_${cores}_${System.nanoTime()}")
+      val t0 = System.nanoTime()
+      flagship(s, corpus, s"$benchDir/out_${cores}_${System.nanoTime()}")
+      val secs = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      corpusN / secs
+    }
+    val pps8 = timedRun(8)
+    val pps32 = timedRun(32)
+    val eff = pps32 / (4.0 * pps8)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"pip-join+tile pages/sec @ local[32] (headline secs in queries)","value":$pps32%.1f,"unit":"pages/sec","total_headline_sec":$total%.2f,"queries":$qs,"sf":"$sfDir","scaling":{"corpus_pages":$corpusN,"pages_per_sec_local8":$pps8%.1f,"pages_per_sec_local32":$pps32%.1f,"efficiency_4x":$eff%.3f,"target":0.8}}""")
   }
 }

@@ -25,10 +25,15 @@ object Dedup {
   private val nHashes = 16
   private val bands = 8 // of 2 rows each
 
-  private def minhashAggs(d: Dialect): Seq[String] =
+  /** One md5 per shingle; the 16 family members derive arithmetically
+    * (odd multiplier → bijection mod 2^32, plus an offset), so signature
+    * cost is 1 digest + 16 integer ops per shingle. */
+  private def minhashAggs(d: Dialect): Seq[String] = {
+    val h = d.md5Bits("sh", 1)
     (0 until nHashes).map { j =>
-      s"min(${d.md5Bits(s"(sh || '#$j')", 1)}) AS m$j"
+      s"min((($h) * ${2 * j + 1} + $j * 2654435761) % 4294967296) AS m$j"
     }
+  }
 
   /** Spark-side signature table: doc_id, m0..m15. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
