@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{DuckD, Geo, SparkD, Zones}
-import graft.ops.{Ann, Dedup, Knn, PipJoin, Raster, Relational, Tables, Text, Zonal}
+import graft.ops.{Ann, Dedup, Focal, Knn, PipJoin, Raster, Relational, Tables, Text, VectorOps, Zonal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,7 +29,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     spatialQueries ++ Zonal.queries ++ Raster.queries ++ Relational.queries ++
-      Knn.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries
+      Knn.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
+      Focal.queries ++ VectorOps.queries
 
   private def spatialQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -81,7 +82,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     spatialOracles ++ Zonal.oracles ++ Raster.oracles ++ Relational.oracles ++
-      Knn.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles
+      Knn.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      Focal.oracles ++ VectorOps.oracles
 
   private def spatialOracles: Map[String, String] = {
     val d = DuckD

@@ -22,8 +22,20 @@ final case class Ring(fid: Int, ringId: Int, isHole: Boolean,
 }
 
 object Zones {
-  private def ring(fid: Int, rid: Int, hole: Boolean, pts: (Double, Double)*): Ring =
-    Ring(fid, rid, hole, pts.map(_._1).toArray, pts.map(_._2).toArray)
+  /** Rings are written below in drawing order; this helper re-orients them
+    * to the shapefile convention (geometry.rs:291: outer rings clockwise,
+    * holes counter-clockwise) by reversing when the signed shoelace area
+    * disagrees with the requested role. */
+  private def ring(fid: Int, rid: Int, hole: Boolean, pts: (Double, Double)*): Ring = {
+    val xs = pts.map(_._1).toArray
+    val ys = pts.map(_._2).toArray
+    var signed = 0.0
+    (0 until xs.length - 1).foreach(i => signed += xs(i) * ys(i + 1) - xs(i + 1) * ys(i))
+    // CCW ⇔ signed > 0; holes must be CCW, hulls CW
+    val needReverse = if (hole) signed < 0 else signed > 0
+    if (needReverse) Ring(fid, rid, hole, xs.reverse, ys.reverse)
+    else Ring(fid, rid, hole, xs, ys)
+  }
 
   /** World-coordinate zones (lon = x, lat = y), chosen to overlap the
     * geocoded page distribution: three covering the uniform belt, one

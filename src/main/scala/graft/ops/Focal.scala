@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.core.{Dialect, DuckD, Geo, SparkD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Focal / kernel operators over the density grid (image_analysis family:
+  * MeanFilter, Min/MaximumFilter, TotalFilter, RangeFilter,
+  * DiversityFilter…), plus Resample (nn), Mosaic, RasterHistogram,
+  * ImageCorrelation, BufferRaster.
+  *
+  * Focal plan shape: the 3×3 neighbourhood is an explode of the 9 offsets
+  * on the CONSUMER side followed by a cell-equi join back to the grid —
+  * the halo-exchange pattern (SURVEY §2.0 "focal / kernel op"). At scale
+  * the grid is cell-partitioned, so each task's halo join touches only
+  * neighbouring partitions (Z-order locality); no broadcast of the grid.
+  * Cells absent from the sparse grid contribute nothing (reference nodata
+  * passthrough).
+  */
+object Focal {
+
+  private def densityWith(d: Dialect, res: Int): String =
+    s"g AS (SELECT ${Geo.ix(d, "lon", res)} AS ix, ${Geo.iy(d, "lat", res)} AS iy, " +
+      s"count(*) AS v FROM pages GROUP BY 1, 2)"
+
+  private val pagesWith = s"WITH pages AS (${Geo.pagesCte(DuckD)})"
+
+  /** Spark-side 3×3 halo join: returns (ix, iy, v, nv) rows — one per
+    * (cell, in-grid neighbour incl. self). */
+  private def halo(g: DataFrame): DataFrame = {
+    val centers = g.select(col("ix").as("cix"), col("iy").as("ciy"), col("v"))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("nix", col("cix") + col("dx"))
+      .withColumn("niy", col("ciy") + col("dy"))
+    centers.join(g.select(col("ix").as("nix"), col("iy").as("niy"), col("v").as("nv")),
+      Seq("nix", "niy"))
+      .select(col("cix").as("ix"), col("ciy").as("iy"), col("v"), col("nv"))
+  }
+
+  /** DuckDB twin of the halo (non-equi self join over offsets). */
+  private val duckHalo =
+    "h AS (SELECT c.ix, c.iy, c.v, n.v AS nv FROM g c JOIN g n " +
+      "ON n.ix BETWEEN c.ix - 1 AND c.ix + 1 AND n.iy BETWEEN c.iy - 1 AND c.iy + 1)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MeanFilter / TotalFilter / Min-Max / RangeFilter in one pass (exact:
+    // integer sums, mean as one double division).
+    "focal_stats" -> ((s, dir) => {
+      halo(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy")
+        .agg(expr("cast(sum(nv) as bigint)").as("f_total"),
+             expr("cast(sum(nv) as double) / cast(count(*) as double)").as("f_mean"),
+             min("nv").as("f_min"), max("nv").as("f_max"),
+             (max("nv") - min("nv")).as("f_range"),
+             count(lit(1)).as("n_nbrs"))
+        .orderBy("ix", "iy")
+    }),
+
+    // DiversityFilter: distinct neighbour values.
+    "focal_diversity" -> ((s, dir) => {
+      halo(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy")
+        .agg(countDistinct("nv").as("f_div"))
+        .orderBy("ix", "iy")
+    }),
+
+    // Resample nearest-neighbour (resample.rs:68-70): res-5 grid sampled
+    // onto res-7 — each fine cell takes its coarse parent's value (pure
+    // re-keying, no interpolation).
+    "resample_nn" -> ((s, dir) => {
+      val coarse = Raster.density(s, dir, 5)
+        .select(col("ix").as("pix"), col("iy").as("piy"), col("v"))
+      val fine = Raster.density(s, dir, 7)
+        .select(col("ix"), col("iy"),
+          expr("ix div 4").as("pix"), expr("iy div 4").as("piy"))
+      fine.join(coarse, Seq("pix", "piy"))
+        .select("ix", "iy", "v")
+        .orderBy("ix", "iy")
+    }),
+
+    // Mosaic (mosaic.rs): two per-language layers, first-listed wins where
+    // both cover a cell.
+    "mosaic" -> ((s, dir) => {
+      val p = Tables.pages(s, dir)
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 5)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 5)))
+      val en = p.filter(col("lang") === "en").groupBy("ix", "iy")
+        .agg(count(lit(1)).as("v_en"))
+      val zh = p.filter(col("lang") === "zh").groupBy("ix", "iy")
+        .agg(count(lit(1)).as("v_zh"))
+      en.join(zh, Seq("ix", "iy"), "full_outer")
+        .select(col("ix"), col("iy"), coalesce(col("v_en"), col("v_zh")).as("v"))
+        .orderBy("ix", "iy")
+    }),
+
+    // RasterHistogram: equal-width bins over the density values.
+    "raster_histogram" -> ((s, dir) => {
+      val g = Raster.density(s, dir, 6)
+      val ext = g.agg(min("v").as("vmin"), max("v").as("vmax"))
+      g.crossJoin(broadcast(ext))
+        .withColumn("bin", expr(
+          "least(cast(floor((cast(v - vmin as double)) / " +
+            "(cast(vmax - vmin + 1 as double) / 10.0e0)) as bigint), 9)"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
+    // ImageCorrelation (image_correlation.rs): Pearson r between the en and
+    // zh density layers on their common cells — exact integer sums, one
+    // final double expression.
+    "image_correlation" -> ((s, dir) => {
+      val p = Tables.pages(s, dir)
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 5)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 5)))
+      val en = p.filter(col("lang") === "en").groupBy("ix", "iy").agg(count(lit(1)).as("x"))
+      val zh = p.filter(col("lang") === "zh").groupBy("ix", "iy").agg(count(lit(1)).as("y"))
+      en.join(zh, Seq("ix", "iy"))
+        .agg(count(lit(1)).as("n"),
+             expr("cast(sum(x) as bigint)").as("sx"),
+             expr("cast(sum(y) as bigint)").as("sy"),
+             expr("cast(sum(x * y) as bigint)").as("sxy"),
+             expr("cast(sum(x * x) as bigint)").as("sxx"),
+             expr("cast(sum(y * y) as bigint)").as("syy"))
+        .selectExpr("n",
+          "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+            "sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * " +
+            "(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))) AS pearson_r")
+    }),
+
+    // BufferRaster (buffer_raster.rs): cells within max_dist of any page —
+    // the nn_gridding candidate set thresholded (distance transform via
+    // bucket-ring join rather than the reference's two-pass scan).
+    "buffer_raster" -> ((s, dir) => {
+      Knn.queries("nn_gridding")(s, dir)
+        .filter(col("d2") <= lit(1.0))
+        .select("ix", "iy")
+        .orderBy("ix", "iy")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "focal_stats" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHalo " +
+        "SELECT ix, iy, cast(sum(nv) as bigint) AS f_total, " +
+        "cast(sum(nv) as double) / cast(count(*) as double) AS f_mean, " +
+        "min(nv) AS f_min, max(nv) AS f_max, max(nv) - min(nv) AS f_range, " +
+        "count(*) AS n_nbrs FROM h GROUP BY ix, iy ORDER BY ix, iy"),
+    "focal_diversity" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHalo " +
+        "SELECT ix, iy, count(DISTINCT nv) AS f_div FROM h GROUP BY ix, iy ORDER BY ix, iy"),
+    "resample_nn" -> {
+      val c5 = s"c AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS pix, ${Geo.iy(DuckD, "lat", 5)} AS piy, count(*) AS v FROM pages GROUP BY 1, 2)"
+      val f7 = s"f AS (SELECT ${Geo.ix(DuckD, "lon", 7)} AS ix, ${Geo.iy(DuckD, "lat", 7)} AS iy FROM pages GROUP BY 1, 2)"
+      s"$pagesWith, $c5, $f7 SELECT ix, iy, v FROM f JOIN c " +
+        s"ON ${DuckD.idiv("ix", "4")} = pix AND ${DuckD.idiv("iy", "4")} = piy ORDER BY ix, iy"
+    },
+    "mosaic" ->
+      (s"$pagesWith, en AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, ${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS v_en FROM pages WHERE lang = 'en' GROUP BY 1, 2), " +
+        s"zh AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, ${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS v_zh FROM pages WHERE lang = 'zh' GROUP BY 1, 2) " +
+        "SELECT coalesce(en.ix, zh.ix) AS ix, coalesce(en.iy, zh.iy) AS iy, " +
+        "coalesce(v_en, v_zh) AS v FROM en FULL OUTER JOIN zh ON en.ix = zh.ix AND en.iy = zh.iy " +
+        "ORDER BY ix, iy"),
+    "raster_histogram" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, ext AS (SELECT min(v) AS vmin, max(v) AS vmax FROM g) " +
+        "SELECT least(cast(floor((cast(v - vmin as double)) / (cast(vmax - vmin + 1 as double) / 10.0e0)) as bigint), 9) AS bin, " +
+        "count(*) AS n FROM g, ext GROUP BY 1 ORDER BY bin"),
+    "image_correlation" ->
+      (s"$pagesWith, en AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, ${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS x FROM pages WHERE lang = 'en' GROUP BY 1, 2), " +
+        s"zh AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, ${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS y FROM pages WHERE lang = 'zh' GROUP BY 1, 2), " +
+        "j AS (SELECT x, y FROM en JOIN zh ON en.ix = zh.ix AND en.iy = zh.iy), " +
+        "a AS (SELECT count(*) AS n, cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy, " +
+        "cast(sum(x * y) as bigint) AS sxy, cast(sum(x * x) as bigint) AS sxx, cast(sum(y * y) as bigint) AS syy FROM j) " +
+        "SELECT n, (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+        "sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * " +
+        "(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))) AS pearson_r FROM a"),
+    "buffer_raster" -> {
+      val n = 128; val rx = graft.core.Lit.d(360.0 / n); val ry = graft.core.Lit.d(180.0 / n)
+      s"$pagesWith, cells AS (SELECT range % $n AS ix, range // $n AS iy, " +
+        s"-180.0e0 + $rx / 2.0e0 + (range % $n) * $rx AS cx, " +
+        s"-90.0e0 + $ry / 2.0e0 + (range // $n) * $ry AS cy FROM range(${n * n})) " +
+        "SELECT DISTINCT ix, iy FROM cells JOIN pages " +
+        "ON (lon - cx) * (lon - cx) + (lat - cy) * (lat - cy) <= 1.0e0 ORDER BY ix, iy"
+    }
+  )
+}

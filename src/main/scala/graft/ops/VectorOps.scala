@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.core.{DuckD, Geo, Lit, Zones}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-geometry operators over the zone fixture and page-derived line
+  * layers: shape metrics (PolygonArea/PolygonPerimeter/CompactnessRatio),
+  * ExtractNodes, RemovePolygonHoles, MultiPartToSinglePart,
+  * LineIntersections.
+  *
+  * Float discipline: shoelace/perimeter sums are evaluated LEFT-TO-RIGHT on
+  * both engines (Spark `aggregate` HOF; DuckDB list_reduce over literal
+  * arrays generated from the same Ring data), so no rounding is needed.
+  */
+object VectorOps {
+
+  /** Spark rings DF (fid, ring_id, is_hole_flag, xs, ys). */
+  private def ringsDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Zones.worldZones.map(r => (r.fid, r.ringId, r.isHole, r.xs, r.ys))
+      .toDF("fid", "ring_id", "is_hole_flag", "xs", "ys")
+  }
+
+  /** shoelace terms i = 1..n-1 (1-based), reduced left-to-right; the wrap
+    * term is zero for closed rings (poly_area.rs:13-26). */
+  private val areaExpr =
+    "abs(aggregate(transform(sequence(1, size(xs) - 1), " +
+      "i -> element_at(xs, i) * element_at(ys, i + 1) - element_at(xs, i + 1) * element_at(ys, i)), " +
+      "cast(0.0e0 as double), (acc, v) -> acc + v)) / 2.0e0"
+
+  private val perimExpr =
+    "aggregate(transform(sequence(1, size(xs) - 1), " +
+      "i -> sqrt((element_at(xs, i + 1) - element_at(xs, i)) * (element_at(xs, i + 1) - element_at(xs, i)) + " +
+      "(element_at(ys, i + 1) - element_at(ys, i)) * (element_at(ys, i + 1) - element_at(ys, i)))), " +
+      "cast(0.0e0 as double), (acc, v) -> acc + v)"
+
+  /** signed shoelace (is_hole orientation test for simple rings:
+    * area >= 0 ⇔ CCW ⇔ hole — geometry.rs:366-391 fallback branch). */
+  private val signedAreaExpr =
+    "aggregate(transform(sequence(1, size(xs) - 1), " +
+      "i -> element_at(xs, i) * element_at(ys, i + 1) - element_at(xs, i + 1) * element_at(ys, i)), " +
+      "cast(0.0e0 as double), (acc, v) -> acc + v) / 2.0e0"
+
+  // DuckDB twins over literal arrays (same reduction order).
+  private def duckArr(vs: Array[Double]): String =
+    vs.map(Lit.d).mkString("[", ", ", "]")
+
+  private def duckRingRows: String =
+    Zones.worldZones.map { r =>
+      s"SELECT ${r.fid} AS fid, ${r.ringId} AS ring_id, ${r.isHole} AS is_hole_flag, " +
+        s"${duckArr(r.xs)} AS xs, ${duckArr(r.ys)} AS ys"
+    }.mkString("(", " UNION ALL ", ")")
+
+  private def duckReduce(terms: String): String =
+    s"list_reduce(list_prepend(0.0e0, $terms), (acc, v) -> acc + v)"
+
+  private val duckAreaExpr =
+    s"abs(${duckReduce("list_transform(range(1, len(xs)), i -> xs[i] * ys[i + 1] - xs[i + 1] * ys[i])")}) / 2.0e0"
+
+  private val duckPerimExpr =
+    duckReduce("list_transform(range(1, len(xs)), " +
+      "i -> sqrt((xs[i + 1] - xs[i]) * (xs[i + 1] - xs[i]) + (ys[i + 1] - ys[i]) * (ys[i + 1] - ys[i])))")
+
+  private val duckSignedAreaExpr =
+    s"${duckReduce("list_transform(range(1, len(xs)), i -> xs[i] * ys[i + 1] - xs[i + 1] * ys[i])")} / 2.0e0"
+
+  // NYC line layers: consecutive urban pages by doc_id (layer 1) vs by
+  // (lat, doc_id) (layer 2) — crossing segment sets from the same points.
+  private val nycBox = "lon >= -74.05e0 AND lon <= -73.85e0 AND lat >= 40.65e0 AND lat <= 40.85e0"
+
+  private val intersectCond =
+    "denom <> 0.0e0 AND t >= 0.0e0 AND t <= 1.0e0 AND u >= 0.0e0 AND u <= 1.0e0"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PolygonArea + PolygonPerimeter + CompactnessRatio per ring.
+    "polygon_area_perimeter" -> ((s, dir) => {
+      ringsDF(s)
+        .withColumn("area", expr(areaExpr))
+        .withColumn("perimeter", expr(perimExpr))
+        .withColumn("compactness", expr(s"($areaExpr) / (($perimExpr) * ($perimExpr))"))
+        .select("fid", "ring_id", "area", "perimeter", "compactness")
+        .orderBy("fid", "ring_id")
+    }),
+
+    // ExtractNodes: ring vertices → point rows.
+    "extract_nodes" -> ((s, dir) => {
+      ringsDF(s)
+        .select(col("fid"), col("ring_id"),
+          posexplode(expr("zip_with(xs, ys, (x, y) -> struct(x, y))")))
+        .select(col("fid"), col("ring_id"), col("pos").as("idx"),
+          col("col.x").as("x"), col("col.y").as("y"))
+        .orderBy("fid", "ring_id", "idx")
+    }),
+
+    // RemovePolygonHoles: keep rings whose orientation is clockwise
+    // (signed shoelace < 0 — hole rings are CCW).
+    "remove_polygon_holes" -> ((s, dir) => {
+      ringsDF(s)
+        .withColumn("signed_area", expr(signedAreaExpr))
+        .filter(col("signed_area") < 0.0)
+        .select("fid", "ring_id")
+        .orderBy("fid", "ring_id")
+    }),
+
+    // MultiPartToSinglePart: each ring becomes its own feature.
+    "multipart_to_singlepart" -> ((s, dir) => {
+      ringsDF(s)
+        .withColumn("new_fid", expr("row_number() OVER (ORDER BY fid, ring_id)"))
+        .selectExpr("new_fid", "fid AS parent_fid", "ring_id",
+          "cast(size(xs) as bigint) AS n_points")
+        .orderBy("new_fid")
+    }),
+
+    // LineIntersections (line_intersections.rs + line_segment.rs:33-56):
+    // general-position point intersections between the two NYC layers.
+    "line_intersections" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(lineIntersectionsSql(graft.core.SparkD))
+    })
+  )
+
+  /** Shared (dialect-parametric) SQL for line_intersections — the same
+    * string runs on Spark and DuckDB, so parity is structural. */
+  private def lineIntersectionsSql(d: graft.core.Dialect): String = {
+    val segs = (orderCol: String) =>
+      s"SELECT row_number() OVER (ORDER BY $orderCol) AS sid, " +
+        "lon AS x1, lat AS y1, " +
+        s"lead(lon) OVER (ORDER BY $orderCol) AS x2, " +
+        s"lead(lat) OVER (ORDER BY $orderCol) AS y2 FROM nyc"
+    s"WITH pages AS (${Geo.pagesCte(d)}), " +
+      s"nyc AS (SELECT doc_id, lon, lat FROM pages WHERE $nycBox), " +
+      s"l1 AS (SELECT * FROM (${segs("doc_id")}) t WHERE x2 IS NOT NULL), " +
+      s"l2 AS (SELECT * FROM (${segs("lat, doc_id")}) t WHERE x2 IS NOT NULL), " +
+      "c AS (SELECT a.sid AS sa, b.sid AS sb, a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2, " +
+      "b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2, " +
+      "(a.x1 - a.x2) * (b.y1 - b.y2) - (a.y1 - a.y2) * (b.x1 - b.x2) AS denom " +
+      "FROM l1 a, l2 b), " +
+      "tu AS (SELECT sa, sb, ax1, ay1, ax2, ay2, denom, " +
+      "((ax1 - bx1) * (by1 - by2) - (ay1 - by1) * (bx1 - bx2)) / denom AS t, " +
+      "-((ax1 - ax2) * (ay1 - by1) - (ay1 - ay2) * (ax1 - bx1)) / denom AS u " +
+      "FROM c WHERE denom <> 0.0e0) " +
+      s"SELECT sa, sb, ax1 + t * (ax2 - ax1) AS px, ay1 + t * (ay2 - ay1) AS py " +
+      s"FROM tu WHERE $intersectCond ORDER BY sa, sb"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "polygon_area_perimeter" ->
+      (s"WITH rings AS $duckRingRows SELECT fid, ring_id, $duckAreaExpr AS area, " +
+        s"$duckPerimExpr AS perimeter, ($duckAreaExpr) / (($duckPerimExpr) * ($duckPerimExpr)) AS compactness " +
+        "FROM rings ORDER BY fid, ring_id"),
+    "extract_nodes" ->
+      (s"WITH rings AS $duckRingRows, " +
+        "u AS (SELECT fid, ring_id, unnest(range(1, len(xs) + 1)) AS i, xs, ys FROM rings) " +
+        "SELECT fid, ring_id, cast(i - 1 as int) AS idx, xs[i] AS x, ys[i] AS y FROM u " +
+        "ORDER BY fid, ring_id, idx"),
+    "remove_polygon_holes" ->
+      (s"WITH rings AS $duckRingRows SELECT fid, ring_id FROM rings " +
+        s"WHERE $duckSignedAreaExpr < 0.0e0 ORDER BY fid, ring_id"),
+    "multipart_to_singlepart" ->
+      (s"WITH rings AS $duckRingRows SELECT row_number() OVER (ORDER BY fid, ring_id) AS new_fid, " +
+        "fid AS parent_fid, ring_id, len(xs) AS n_points FROM rings ORDER BY new_fid"),
+    "line_intersections" -> lineIntersectionsSql(DuckD)
+  )
+}
