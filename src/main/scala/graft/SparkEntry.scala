@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{DuckD, Geo, SparkD, Zones}
-import graft.ops.{Ann, Dedup, Focal, Knn, PipJoin, Raster, Relational, Tables, Text, VectorOps, Zonal}
+import graft.ops.{Ann, Clump, Dedup, Focal, Knn, PipJoin, Raster, RasterClip, Relational, Tables, Text, VectorOps, Zonal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +30,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     spatialQueries ++ Zonal.queries ++ Raster.queries ++ Relational.queries ++
       Knn.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
-      Focal.queries ++ VectorOps.queries
+      Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++ Map(
+        // Clump (CCL via label propagation) — no SQL-expressible oracle;
+        // the driver records the weaker rows-only check, ClumpSpec pins
+        // the partition against a scalar flood fill.
+        "clump" -> ((s: SparkSession, dir: String) =>
+          Clump.clump(s, Raster.density(s, dir, 5)
+              .filter(!expr(Raster.nodataCond))
+              .withColumn("v", lit(1L)))
+            .orderBy("ix", "iy"))
+      )
 
   private def spatialQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -83,7 +92,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     spatialOracles ++ Zonal.oracles ++ Raster.oracles ++ Relational.oracles ++
       Knn.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Focal.oracles ++ VectorOps.oracles
+      Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles
 
   private def spatialOracles: Map[String, String] = {
     val d = DuckD

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Clump — connected-component labelling of grid cells (clump.rs:206-233:
+  * DFS flood fill, 4- or 8-connexity, same-value cells connect).
+  *
+  * The reference holds the whole grid in RAM and flood-fills. At 10^12
+  * cells that is impossible; we use label propagation over the cell
+  * adjacency (the Hash-to-Min / small-star family): every cell starts with
+  * label = its own cell id; each round every cell takes the min label of
+  * its same-value neighbours; converged when nothing changes. Rounds are
+  * O(component diameter) — bounded by grid extent, and each round is one
+  * halo join + aggregate. Lineage is truncated per round (localCheckpoint),
+  * exactly like the kNN shell loop.
+  *
+  * Label choice (min cell id of the component) is deterministic, so
+  * results are reproducible though label VALUES differ from the
+  * reference's scan-order clump ids; the PARTITION of cells into clumps is
+  * identical, which is what ClumpSpec asserts against a scalar flood-fill
+  * transcription.
+  */
+object Clump {
+
+  /** @param grid (ix: Long, iy: Long, v) cells; nodata cells excluded upstream
+    * @param eightConnexity include diagonal neighbours (clump.rs `--diag`) */
+  def clump(spark: SparkSession, grid: DataFrame,
+            eightConnexity: Boolean = true, maxRounds: Int = 64): DataFrame = {
+    import spark.implicits._
+    val offsets = (for {
+      dx <- -1 to 1; dy <- -1 to 1
+      if (dx, dy) != (0, 0) && (eightConnexity || dx == 0 || dy == 0)
+    } yield (dx, dy)).toDF("dx", "dy")
+
+    var labels = grid
+      .withColumn("label", expr("ix * 1000000 + iy")) // injective for res ≤ ~19
+      .select("ix", "iy", "v", "label")
+      .localCheckpoint()
+
+    var round = 0
+    var changedCount = 1L
+    while (changedCount > 0 && round < maxRounds) {
+      // neighbour labels (same value only — clump.rs connects equal cells)
+      val nbr = labels.crossJoin(broadcast(offsets))
+        .select((col("ix") + col("dx")).as("ix"), (col("iy") + col("dy")).as("iy"),
+          col("v"), col("label").as("nbr_label"))
+      // phase 1 (small-star): candidate = min(own, neighbours' labels)
+      val cand = labels.join(nbr, Seq("ix", "iy", "v"), "left")
+        .groupBy("ix", "iy", "v")
+        .agg(min("nbr_label").as("nmin"), first("label").as("label"))
+        .select(col("ix"), col("iy"), col("v"), col("label"),
+          when(col("nmin") < col("label"), col("nmin")).otherwise(col("label")).as("cand"))
+      // phase 2 (large-star / pointer jumping): contract every current
+      // label-group to its min candidate — turns O(diameter) rounds into
+      // O(log diameter)
+      val groupMin = cand.groupBy("label").agg(min("cand").as("gmin"))
+      val next = cand.join(groupMin, "label")
+        .select(col("ix"), col("iy"), col("v"),
+          least(col("cand"), col("gmin")).as("label"),
+          (least(col("cand"), col("gmin")) < col("label")).as("changed"))
+      val materialized = next.localCheckpoint()
+      changedCount = materialized.filter(col("changed") === true).count()
+      labels = materialized.drop("changed")
+      round += 1
+    }
+    labels
+  }
+}

@@ -103,6 +103,44 @@ object Raster {
         .orderBy("hex_row", "hex_col")
     }),
 
+    // ZScores (z_scores.rs): (v − μ)/σ over the density grid; μ,σ from
+    // exact integer sums, one double expression per cell.
+    "z_scores" -> ((s, dir) => {
+      val g = density(s, dir, 6)
+      val stats = g.agg(expr("cast(sum(v) as bigint)").as("s"),
+        expr("cast(sum(v * v) as bigint)").as("q"), count(lit(1)).as("n"))
+      g.crossJoin(broadcast(stats))
+        .selectExpr("ix", "iy",
+          "(cast(v as double) - cast(s as double) / cast(n as double)) / " +
+            "sqrt(greatest(0.0e0, (cast(q as double) - cast(s as double) * cast(s as double) / cast(n as double)) / (cast(n as double) - 1.0e0))) AS z")
+        .orderBy("ix", "iy")
+    }),
+
+    // CumulativeDistribution (cumulative_distribution.rs): CDF(v) over the
+    // grid via cume_dist (count(v' <= v)/n — deterministic).
+    "cumulative_distribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      density(s, dir, 6)
+        .withColumn("cdf", cume_dist().over(Window.orderBy("v")))
+        .select("ix", "iy", "cdf")
+        .orderBy("ix", "iy")
+    }),
+
+    // HighestPosition (highest_position.rs): argmax layer index per cell
+    // across the 3 language layers (ties → lowest index, scan order).
+    "highest_position" -> ((s, dir) => {
+      val p = Tables.pages(s, dir).filter(col("lang").isin("en", "zh", "es"))
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 5)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 5)))
+        .withColumn("layer", expr(
+          "CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END"))
+      p.groupBy("ix", "iy", "layer").agg(count(lit(1)).as("v"))
+        .groupBy("ix", "iy")
+        .agg(expr("min_by(layer, struct(-v, layer))").as("pos"),
+             max("v").as("v_max"))
+        .orderBy("ix", "iy")
+    }),
+
     // Global raster summary stats over the density grid (exact-int mean/std).
     "raster_summary_stats" -> ((s, dir) => {
       density(s, dir, 6)
@@ -152,6 +190,22 @@ object Raster {
         "SELECT (h >> 32) AS hex_row, (h & 4294967295) AS hex_col, count(*) AS n " +
         "FROM assigned GROUP BY 1, 2 ORDER BY hex_row, hex_col"
     },
+    "z_scores" ->
+      (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}), " +
+        "st AS (SELECT cast(sum(v) as bigint) AS s, cast(sum(v * v) as bigint) AS q, count(*) AS n FROM g) " +
+        "SELECT ix, iy, (cast(v as double) - cast(s as double) / cast(n as double)) / " +
+        "sqrt(greatest(0.0e0, (cast(q as double) - cast(s as double) * cast(s as double) / cast(n as double)) / (cast(n as double) - 1.0e0))) AS z " +
+        "FROM g, st ORDER BY ix, iy"),
+    "cumulative_distribution" ->
+      (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
+        "SELECT ix, iy, cume_dist() OVER (ORDER BY v) AS cdf FROM g ORDER BY ix, iy"),
+    "highest_position" ->
+      (s"$pagesWith, layers AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, " +
+        s"${Geo.iy(DuckD, "lat", 5)} AS iy, " +
+        "CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END AS layer, count(*) AS v " +
+        "FROM pages WHERE lang IN ('en', 'zh', 'es') GROUP BY 1, 2, 3), " +
+        "r AS (SELECT ix, iy, layer, v, row_number() OVER (PARTITION BY ix, iy ORDER BY v DESC, layer) AS rn FROM layers) " +
+        "SELECT ix, iy, layer AS pos, v AS v_max FROM r WHERE rn = 1 ORDER BY ix, iy"),
     "raster_summary_stats" ->
       (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
         s"SELECT ${Zonal.statsSelect.mkString(", ")} FROM " +
