@@ -1,32 +1,30 @@
 package graft
 
-import graft.ops.{PipJoin, Tables}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch diagnostics main (not part of the driver contract). */
 object Debug {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[debug] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    r
-  }
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    val pages = Tables.pages(spark, dir)
-    time("pages.count")(println(pages.count()))
-    val m = PipJoin.zoneMembership(spark, pages)
-    time("membership.count")(println(m.count()))
-    val keep = m.filter(col("fid") === 3).select("doc_id")
-    val erase = pages.join(keep, Seq("doc_id"), "left_anti")
-      .select("doc_id", "url", "text").orderBy("doc_id")
-    time("erase.count")(println(erase.count()))
-    erase.explain("formatted")
-    spark.stop()
+    val corpus = "/root/repo/bench_data/pages_64000000"
+    def run(cores: Int): Double = {
+      val s = SparkSession.builder().master(s"local[$cores]")
+        .appName(s"dbg$cores")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      Bench.flagship(s, "/root/repo/bench_data/pages_3200000",
+        s"/root/repo/bench_data/dbgw_${cores}_${System.nanoTime()}")
+      val t0 = System.nanoTime()
+      Bench.flagship(s, corpus, s"/root/repo/bench_data/dbg_${cores}_${System.nanoTime()}")
+      val secs = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      val pps = 64000000 / secs
+      println(f"[debug] local[$cores]: $secs%.2f s, $pps%.0f pages/s")
+      pps
+    }
+    val results = Seq(4, 16, 4, 16, 8, 32).map(c => c -> run(c))
+    val best = results.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    println(f"[debug] eff 4->16: ${best(16) / (4 * best(4))}%.3f")
+    println(f"[debug] eff 8->32: ${best(32) / (4 * best(8))}%.3f")
   }
 }

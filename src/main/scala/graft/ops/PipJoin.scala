@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.{Geo, Ring, SparkD, Zones}
-import graft.expr.{Cells, Morton, PointInPolygon}
+import graft.expr.{Cells, Morton, PipAny, PointInPolygon}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,18 +57,34 @@ object PipJoin {
       .withColumn("iy", expr(Geo.iy(SparkD, latCol, res)))
       .withColumn("cell", Cells.mortonCell(col("ix"), col("iy"), res))
 
-  /** (doc_id, fid) membership pairs: which pages fall inside which zone. */
+  /** Ring side grouped per (cell, fid): hull and hole rings as nested
+    * arrays, so membership resolves in ONE map-side expression per
+    * (page, zone) — no shuffle of the page side at all. */
+  def ringCellsGrouped(spark: SparkSession, rings: Seq[Ring], res: Int): DataFrame = {
+    import spark.implicits._
+    rings.flatMap { r =>
+      coverCells(r.minX, r.maxX, r.minY, r.maxY, res).map(c => (c, r))
+    }.groupBy { case (c, r) => (c, r.fid) }
+      .map { case ((c, fid), rs) =>
+        val hulls = rs.map(_._2).filter(!_.isHole)
+        val holes = rs.map(_._2).filter(_.isHole)
+        (c, fid, hulls.map(_.xs).toArray, hulls.map(_.ys).toArray,
+          holes.map(_.xs).toArray, holes.map(_.ys).toArray)
+      }.toSeq
+      .toDF("cell", "fid", "hxs", "hys", "oxs", "oys")
+  }
+
+  /** (doc_id, fid) membership pairs: which pages fall inside which zone.
+    * inside ⇔ in ≥1 hull ring and in 0 hole rings — evaluated map-side by
+    * graft_pip_any after the broadcast cell join. */
   def zoneMembership(spark: SparkSession, pages: DataFrame,
                      rings: Seq[Ring] = Zones.worldZones,
                      res: Int = 6): DataFrame = {
     val p = withCell(pages, res)
-    val rc = ringCells(spark, rings, res)
+    val rc = ringCellsGrouped(spark, rings, res)
     p.join(broadcast(rc), "cell")
-      .filter(PointInPolygon.pip(col("lon"), col("lat"), col("xs"), col("ys")))
-      .groupBy(col("doc_id"), col("fid"))
-      .agg(max(when(!col("isHole"), 1).otherwise(0)).as("in_hull"),
-           max(when(col("isHole"), 1).otherwise(0)).as("in_hole"))
-      .filter(col("in_hull") === 1 && col("in_hole") === 0)
+      .filter(PipAny.pipAny(col("lon"), col("lat"), col("hxs"), col("hys")) &&
+        !PipAny.pipAny(col("lon"), col("lat"), col("oxs"), col("oys")))
       .select("doc_id", "fid")
   }
 }
