@@ -38,7 +38,17 @@ object SparkEntry {
           Clump.clump(s, Raster.density(s, dir, 5)
               .filter(!expr(Raster.nodataCond))
               .withColumn("v", lit(1L)))
-            .orderBy("ix", "iy"))
+            .orderBy("ix", "iy")),
+        // MinimumConvexHull / MinimumBoundingBox per zone — no
+        // SQL-expressible oracle (rows-only check); HullSpec pins the
+        // kernels to the reference vectors and the two-phase merge.
+        "minimum_convex_hull" -> ((s: SparkSession, dir: String) => {
+          val p = Tables.pages(s, dir)
+          val pts = PipJoin.zoneMembership(s, p)
+            .join(p.select("doc_id", "lon", "lat"), "doc_id")
+            .select(col("fid"), col("lon").as("x"), col("lat").as("y"))
+          graft.ops.Hull.featureHulls(s, pts).orderBy("fid")
+        })
       )
 
   private def spatialQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -129,6 +129,37 @@ object Focal {
             "(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))) AS pearson_r")
     }),
 
+    // PercentGreaterThan / CountIf family (percent_greater_than.rs): per
+    // cell, share of language layers whose density exceeds the threshold.
+    "percent_greater_than" -> ((s, dir) => {
+      val p = Tables.pages(s, dir).filter(col("lang").isin("en", "zh", "es"))
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 5)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 5)))
+      p.groupBy("lang", "ix", "iy").agg(count(lit(1)).as("v"))
+        .groupBy("ix", "iy")
+        .agg(expr("cast(sum(CASE WHEN v > 2 THEN 1 ELSE 0 END) as bigint)").as("n_over"),
+             count(lit(1)).as("n_layers"),
+             expr("100.0e0 * sum(CASE WHEN v > 2 THEN 1 ELSE 0 END) / count(*)").as("pct"))
+        .orderBy("ix", "iy")
+    }),
+
+    // AttributeCorrelation (attribute_correlation.rs): Pearson r between
+    // n_chars and the whitespace token count — exact integer sums.
+    "attribute_correlation" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .withColumn("t", expr("cast(size(split(text, '\\\\s+')) as bigint)"))
+        .agg(count(lit(1)).as("n"),
+             expr("cast(sum(n_chars) as bigint)").as("sx"),
+             expr("cast(sum(t) as bigint)").as("sy"),
+             expr("cast(sum(n_chars * t) as bigint)").as("sxy"),
+             expr("cast(sum(n_chars * n_chars) as bigint)").as("sxx"),
+             expr("cast(sum(t * t) as bigint)").as("syy"))
+        .selectExpr("n",
+          "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+            "sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * " +
+            "(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))) AS pearson_r")
+    }),
+
     // BufferRaster (buffer_raster.rs): cells within max_dist of any page —
     // the nn_gridding candidate set thresholded (distance transform via
     // bucket-ring join rather than the reference's two-pass scan).
@@ -172,6 +203,22 @@ object Focal {
         "j AS (SELECT x, y FROM en JOIN zh ON en.ix = zh.ix AND en.iy = zh.iy), " +
         "a AS (SELECT count(*) AS n, cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy, " +
         "cast(sum(x * y) as bigint) AS sxy, cast(sum(x * x) as bigint) AS sxx, cast(sum(y * y) as bigint) AS syy FROM j) " +
+        "SELECT n, (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+        "sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * " +
+        "(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))) AS pearson_r FROM a"),
+    "percent_greater_than" ->
+      (s"$pagesWith, layers AS (SELECT lang, ${Geo.ix(DuckD, "lon", 5)} AS ix, " +
+        s"${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS v FROM pages " +
+        "WHERE lang IN ('en', 'zh', 'es') GROUP BY 1, 2, 3) " +
+        "SELECT ix, iy, cast(sum(CASE WHEN v > 2 THEN 1 ELSE 0 END) as bigint) AS n_over, " +
+        "count(*) AS n_layers, " +
+        "100.0e0 * sum(CASE WHEN v > 2 THEN 1 ELSE 0 END) / count(*) AS pct " +
+        "FROM layers GROUP BY 1, 2 ORDER BY ix, iy"),
+    "attribute_correlation" ->
+      (s"WITH t0 AS (SELECT n_chars, len(regexp_split_to_array(text, '\\s+')) AS t FROM documents), " +
+        "a AS (SELECT count(*) AS n, cast(sum(n_chars) as bigint) AS sx, cast(sum(t) as bigint) AS sy, " +
+        "cast(sum(n_chars * t) as bigint) AS sxy, cast(sum(n_chars * n_chars) as bigint) AS sxx, " +
+        "cast(sum(t * t) as bigint) AS syy FROM t0) " +
         "SELECT n, (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
         "sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * " +
         "(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))) AS pearson_r FROM a"),
