@@ -42,6 +42,14 @@ object SparkEntry {
         // MinimumConvexHull / MinimumBoundingBox per zone — no
         // SQL-expressible oracle (rows-only check); HullSpec pins the
         // kernels to the reference vectors and the two-phase merge.
+        // KMeansClustering — iterative, rows-only (KMeansSpec pins vs the
+        // scalar Lloyd loop).
+        "kmeans_clustering" -> ((s: SparkSession, dir: String) => {
+          val cells = Raster.density(s, dir, 6)
+            .selectExpr("ix * 1000000 + iy AS id",
+              "cast(ix as double) AS x", "cast(iy as double) AS y")
+          graft.ops.KMeans.kmeans(s, cells, k = 5).orderBy("id")
+        }),
         "minimum_convex_hull" -> ((s: SparkSession, dir: String) => {
           val p = Tables.pages(s, dir)
           val pts = PipJoin.zoneMembership(s, p)

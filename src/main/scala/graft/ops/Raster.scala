@@ -141,6 +141,27 @@ object Raster {
         .orderBy("ix", "iy")
     }),
 
+    // HistogramEqualization (histogram_equalization.rs): v' = floor(CDF·255)
+    // via cume_dist — global LUT expressed as a window.
+    "histogram_equalization" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      density(s, dir, 6)
+        .withColumn("v_eq", expr("cast(floor(cume_dist() OVER (ORDER BY v) * 255.0e0) as bigint)"))
+        .select("ix", "iy", "v_eq")
+        .orderBy("ix", "iy")
+    }),
+
+    // RandomField / RandomSample (random_field.rs): reproducible hash-rand
+    // raster — u in [0,1) from the md5 of the cell id (no RNG state, so
+    // identical across retries/cluster sizes; SURVEY §2.3 note).
+    "random_field" -> ((s, dir) => {
+      density(s, dir, 6)
+        .withColumn("u", expr(
+          s"${SparkD.md5Bits("cast(ix * 1000000 + iy as string)", 1)} / 4294967296.0e0"))
+        .select("ix", "iy", "u")
+        .orderBy("ix", "iy")
+    }),
+
     // Global raster summary stats over the density grid (exact-int mean/std).
     "raster_summary_stats" -> ((s, dir) => {
       density(s, dir, 6)
@@ -206,6 +227,14 @@ object Raster {
         "FROM pages WHERE lang IN ('en', 'zh', 'es') GROUP BY 1, 2, 3), " +
         "r AS (SELECT ix, iy, layer, v, row_number() OVER (PARTITION BY ix, iy ORDER BY v DESC, layer) AS rn FROM layers) " +
         "SELECT ix, iy, layer AS pos, v AS v_max FROM r WHERE rn = 1 ORDER BY ix, iy"),
+    "histogram_equalization" ->
+      (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
+        "SELECT ix, iy, cast(floor(cume_dist() OVER (ORDER BY v) * 255.0e0) as bigint) AS v_eq " +
+        "FROM g ORDER BY ix, iy"),
+    "random_field" ->
+      (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
+        s"SELECT ix, iy, ${DuckD.md5Bits("cast(ix * 1000000 + iy as varchar)", 1)} / 4294967296.0e0 AS u " +
+        "FROM g ORDER BY ix, iy"),
     "raster_summary_stats" ->
       (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
         s"SELECT ${Zonal.statsSelect.mkString(", ")} FROM " +

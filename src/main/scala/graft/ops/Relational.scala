@@ -94,6 +94,16 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // Gap sessionization, batch form (twin of the streaming
+    // flatMapGroupsWithState op — EventStreamSpec cross-checks them).
+    "sessionization" -> ((s, dir) => {
+      graft.streaming.EventStream.sessionizeBatch(
+          s, Tables.table(s, dir, "events")
+            .select("event_id", "ts", "user_id", "event_type", "value"))
+        .withColumn("v_sum", expr("round(v_sum, 6)"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Events: tumbling 1-hour windowed aggregation (batch twin of the
     // streaming pipeline in graft.streaming).
     "events_hourly" -> ((s, dir) => {
@@ -142,6 +152,16 @@ object Relational {
     "extract_values_at_points" ->
       (s"$pagesWith SELECT doc_id, count(*) OVER (PARTITION BY ${Geo.ix(DuckD, "lon", 6)}, " +
         s"${Geo.iy(DuckD, "lat", 6)}) AS value1 FROM pages ORDER BY doc_id"),
+    "sessionization" ->
+      ("WITH e AS (SELECT event_id, ts, user_id, value, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "m AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_sess FROM e), " +
+        "sids AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM m) " +
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "cast(count(*) as int) AS n_events, round(sum(value), 6) AS v_sum " +
+        "FROM sids GROUP BY user_id, sess_id ORDER BY user_id, session_start"),
     "events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, " +
         "round(sum(value), 6) AS v_sum FROM events GROUP BY 1, 2 ORDER BY hour, event_type")
