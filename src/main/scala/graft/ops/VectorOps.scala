@@ -118,8 +118,39 @@ object VectorOps {
     "line_intersections" -> ((s, dir) => {
       Tables.register(s, dir)
       s.sql(lineIntersectionsSql(graft.core.SparkD))
+    }),
+
+    // SmoothVectors (smooth_vectors.rs:294-315): 3-point moving average
+    // with the reference's wraparound at part ends (j<start → end-(start-j),
+    // j>end → start+(j-end), closing-duplicate aware).
+    "smooth_vectors" -> ((s, dir) => {
+      val sm = "transform(sequence(1, size(xs)), i -> struct(" +
+        s"(${smoothTermSpark("xs")}) AS sx, (${smoothTermSpark("ys")}) AS sy))"
+      ringsDF(s)
+        .select(col("fid"), col("ring_id"), posexplode(expr(sm)))
+        .select(col("fid"), col("ring_id"), col("pos").as("idx"),
+          col("col.sx").as("sx"), col("col.sy").as("sy"))
+        .orderBy("fid", "ring_id", "idx")
     })
   )
+
+  /** wrap index k for window offset j around a closed part of n vertices:
+    * k = j<1 ? n-(1-j) : (j>n ? 1+(j-n) : j) — shared shape, per-dialect
+    * element access. */
+  private def wrapIdx(j: String, n: String): String =
+    s"(CASE WHEN ($j) < 1 THEN ($n) - (1 - ($j)) WHEN ($j) > ($n) THEN 1 + (($j) - ($n)) ELSE ($j) END)"
+
+  private def smoothTermSpark(arr: String): String = {
+    val n = s"size($arr)"
+    val ks = Seq("i - 1", "i", "i + 1").map(j => wrapIdx(j, n))
+    ks.map(k => s"element_at($arr, cast($k as int))").mkString("(", " + ", s") / 3.0e0")
+  }
+
+  private def smoothTermDuck(arr: String): String = {
+    val n = s"len($arr)"
+    val ks = Seq("i - 1", "i", "i + 1").map(j => wrapIdx(j, n))
+    ks.map(k => s"$arr[$k]").mkString("(", " + ", s") / 3.0e0")
+  }
 
   /** Shared (dialect-parametric) SQL for line_intersections — the same
     * string runs on Spark and DuckDB, so parity is structural. */
@@ -161,6 +192,12 @@ object VectorOps {
     "multipart_to_singlepart" ->
       (s"WITH rings AS $duckRingRows SELECT row_number() OVER (ORDER BY fid, ring_id) AS new_fid, " +
         "fid AS parent_fid, ring_id, len(xs) AS n_points FROM rings ORDER BY new_fid"),
-    "line_intersections" -> lineIntersectionsSql(DuckD)
+    "line_intersections" -> lineIntersectionsSql(DuckD),
+    "smooth_vectors" ->
+      (s"WITH rings AS $duckRingRows, " +
+        "u AS (SELECT fid, ring_id, unnest(range(1, len(xs) + 1)) AS i, xs, ys FROM rings) " +
+        s"SELECT fid, ring_id, cast(i - 1 as int) AS idx, " +
+        s"${smoothTermDuck("xs")} AS sx, ${smoothTermDuck("ys")} AS sy " +
+        "FROM u ORDER BY fid, ring_id, idx")
   )
 }
