@@ -162,6 +162,30 @@ object Raster {
         .orderBy("ix", "iy")
     }),
 
+    // LowestPosition (lowest_position.rs): argmin layer per cell.
+    "lowest_position" -> ((s, dir) => {
+      val p = Tables.pages(s, dir).filter(col("lang").isin("en", "zh", "es"))
+        .withColumn("ix", expr(Geo.ix(SparkD, "lon", 5)))
+        .withColumn("iy", expr(Geo.iy(SparkD, "lat", 5)))
+        .withColumn("layer", expr(
+          "CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END"))
+      p.groupBy("ix", "iy", "layer").agg(count(lit(1)).as("v"))
+        .groupBy("ix", "iy")
+        .agg(expr("min_by(layer, struct(v, layer))").as("pos"),
+             min("v").as("v_min"))
+        .orderBy("ix", "iy")
+    }),
+
+    // RasterCellAssignment: cell = row / col / x / y projections.
+    "raster_cell_assignment" -> ((s, dir) => {
+      val res = 6; val rx = 360.0 / (1 << res); val ry = 180.0 / (1 << res)
+      density(s, dir, res)
+        .withColumn("x", expr(s"-180.0e0 + ${rx}e0 / 2.0e0 + ix * ${rx}e0"))
+        .withColumn("y", expr(s"-90.0e0 + ${ry}e0 / 2.0e0 + iy * ${ry}e0"))
+        .select("ix", "iy", "x", "y")
+        .orderBy("ix", "iy")
+    }),
+
     // Global raster summary stats over the density grid (exact-int mean/std).
     "raster_summary_stats" -> ((s, dir) => {
       density(s, dir, 6)
@@ -235,6 +259,19 @@ object Raster {
       (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
         s"SELECT ix, iy, ${DuckD.md5Bits("cast(ix * 1000000 + iy as varchar)", 1)} / 4294967296.0e0 AS u " +
         "FROM g ORDER BY ix, iy"),
+    "lowest_position" ->
+      (s"$pagesWith, layers AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, " +
+        s"${Geo.iy(DuckD, "lat", 5)} AS iy, " +
+        "CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END AS layer, count(*) AS v " +
+        "FROM pages WHERE lang IN ('en', 'zh', 'es') GROUP BY 1, 2, 3), " +
+        "r AS (SELECT ix, iy, layer, v, row_number() OVER (PARTITION BY ix, iy ORDER BY v, layer) AS rn FROM layers) " +
+        "SELECT ix, iy, layer AS pos, v AS v_min FROM r WHERE rn = 1 ORDER BY ix, iy"),
+    "raster_cell_assignment" -> {
+      val res = 6; val rx = 360.0 / (1 << res); val ry = 180.0 / (1 << res)
+      s"$pagesWith, g AS (${densitySelect(DuckD, res)}) " +
+        s"SELECT ix, iy, -180.0e0 + ${rx}e0 / 2.0e0 + ix * ${rx}e0 AS x, " +
+        s"-90.0e0 + ${ry}e0 / 2.0e0 + iy * ${ry}e0 AS y FROM g ORDER BY ix, iy"
+    },
     "raster_summary_stats" ->
       (s"$pagesWith, g AS (${densitySelect(DuckD, 6)}) " +
         s"SELECT ${Zonal.statsSelect.mkString(", ")} FROM " +
