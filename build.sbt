@@ -23,10 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+val sparkRunOpts = jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] on 64M-row benches needs headroom; GC at 32 threads in a
-  // small heap throttles scaling long before CPU does
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// Tests run in a modest heap so `sbt test` starts on any host; the bench
+// (runMain graft.Bench at local[32] over 64M rows) needs headroom — GC at
+// 32 threads in a small heap throttles scaling long before CPU does.
+Test / javaOptions ++= sparkRunOpts :+ s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+run / javaOptions ++= sparkRunOpts :+ s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"

@@ -42,11 +42,15 @@ object Ann {
 
   private def norm(dot: String) = s"sqrt($dot)"
 
-  // 16 deterministic axis coordinates (1-based) for the sign-LSH planes.
-  private val lshCoords: Seq[Int] = (0 until 16).map(i => (i * 37 + 11) % dim + 1)
+  // Sign-LSH planes: i*37 mod 64 is a bijection (gcd(37,64)=1), so the 4
+  // bands of 16 axis coordinates are DISJOINT — band 0 is the original
+  // 16-plane bucket (ann_lsh_buckets is unchanged), bands 1-3 add the
+  // minhash-style multi-band recall for the near-dup path.
+  private def bandCoords(band: Int): Seq[Int] =
+    (0 until 16).map(j => ((band * 16 + j) * 37 + 11) % dim + 1)
 
-  private def lshBucket(d: Dialect, arr: String): String =
-    lshCoords.zipWithIndex.map { case (c, i) =>
+  private def lshBucket(d: Dialect, arr: String, band: Int = 0): String =
+    bandCoords(band).zipWithIndex.map { case (c, i) =>
       s"(CASE WHEN ${d.elemD(arr, c)} > 0.0e0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -62,10 +66,13 @@ object Ann {
         .filter(col("nid") =!= col("qid"))
         .withColumn("cos", expr(
           s"round(($sparkDot) / (${norm(sparkDot.replace("eb", "ea"))} * ${norm(sparkDot.replace("ea", "eb"))}), 6)"))
-      scored.withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))))
-        .filter(col("rank") <= k)
-        .select("qid", "rank", "nid", "cos")
+      // bounded top-k on (−cos, nid): O(k) state per query, map-side
+      // partials — no shuffle+sort of every scored candidate by qid.
+      scored.groupBy("qid")
+        .agg(graft.agg.TopKByDist.topK(k)(negate(col("cos")), col("nid")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), expr("cast(pos + 1 as int)").as("rank"),
+          col("col.id").as("nid"), negate(col("col.dist")).as("cos"))
         .orderBy("qid", "rank")
     }),
 
@@ -77,16 +84,25 @@ object Ann {
         .orderBy("vec_id")
     }),
 
-    // Near-duplicate embeddings: same LSH bucket AND cosine ≥ 0.95.
+    // Near-duplicate embeddings: multi-band sign-LSH (4 disjoint bands of
+    // 16 planes) generates candidates — pairs sharing ANY band bucket —
+    // then the cosine ≥ 0.95 verify runs only on the deduped candidate
+    // ids. Banding bounds per-bucket pair volume (n²/2^16 per band) while
+    // recall comes from the 4 independent bands, the same
+    // candidate-then-verify architecture as the minhash path; never an
+    // all-pairs product.
     "embedding_neardup" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr(lshBucket(SparkD, "embedding")).as("bucket"),
-          col("embedding"))
-      val l = emb.toDF("a", "bucket", "ea")
-      val r = emb.toDF("b", "bucket", "eb")
-      l.join(r, Seq("bucket"))
+      val banded = emb.select(col("vec_id"), posexplode(array(
+        (0 until 4).map(b => expr(lshBucket(SparkD, "embedding", b))): _*)))
+        .toDF("vec_id", "band", "bucket")
+      val cand = banded.toDF("a", "band", "bucket")
+        .join(banded.toDF("b", "band", "bucket"), Seq("band", "bucket"))
         .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      cand
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
         .withColumn("cos", expr(
           s"round(($sparkDot) / (${norm(sparkDot.replace("eb", "ea"))} * ${norm(sparkDot.replace("ea", "eb"))}), 6)"))
         .filter(col("cos") >= 0.95)
@@ -108,13 +124,18 @@ object Ann {
       "ann_lsh_buckets" ->
         (s"SELECT vec_id, ${lshBucket(DuckD, "embedding")} AS bucket " +
           "FROM embeddings ORDER BY vec_id"),
-      "embedding_neardup" ->
-        (s"WITH e AS (SELECT vec_id, ${lshBucket(DuckD, "embedding")} AS bucket, embedding FROM embeddings) " +
-          "SELECT l.vec_id AS a, r.vec_id AS b, " +
-          cosDuck.replace("ea", "l.embedding").replace("eb", "r.embedding") + " AS cos " +
-          "FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id " +
-          "WHERE " + cosDuck.replace("ea", "l.embedding").replace("eb", "r.embedding") + " >= 0.95e0 " +
-          "ORDER BY a, b")
+      "embedding_neardup" -> {
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT vec_id, $b AS band, ${lshBucket(DuckD, "embedding", b)} AS bucket FROM embeddings")
+          .mkString(" UNION ALL ")
+        val cosLR = cosDuck.replace("ea", "ea.embedding").replace("eb", "eb.embedding")
+        s"WITH banded AS ($bandRows), " +
+          "cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM banded l " +
+          "JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id) " +
+          s"SELECT a, b, $cosLR AS cos FROM cand " +
+          "JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b " +
+          s"WHERE $cosLR >= 0.95e0 ORDER BY a, b"
+      }
     )
   }
 }

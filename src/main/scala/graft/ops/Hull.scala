@@ -103,8 +103,19 @@ object Hull {
     val typed = pts.select(col("fid").cast("int"), col("x"), col("y"))
       .as[(Int, Double, Double)]
     val local = typed.mapPartitions { it =>
-      it.toSeq.groupBy(_._1).iterator.flatMap { case (fid, rows) =>
-        convexHull(rows.map(r => (r._2, r._3)).toArray).map(p => (fid, p._1, p._2))
+      // Streaming accumulation: per-fid buffer compacted to its own hull
+      // whenever it reaches Cap, so task state is O(#fids-in-partition ×
+      // Cap) regardless of input rows (hull(hull(S) ∪ T) = hull(S ∪ T)).
+      val Cap = 512
+      val bufs = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Double, Double)]]
+      it.foreach { case (fid, x, y) =>
+        val b = bufs.getOrElseUpdate(fid, scala.collection.mutable.ArrayBuffer.empty)
+        b += ((x, y))
+        if (b.length >= Cap) { val h = convexHull(b.toArray); b.clear(); b ++= h }
+      }
+      bufs.iterator.flatMap { case (fid, b) =>
+        convexHull(b.toArray).iterator.map(p => (fid, p._1, p._2))
       }
     }
     local.groupByKey(_._1).mapGroups { (fid, it) =>

@@ -37,10 +37,13 @@ object KMeans {
     var r = 0
     while (r < rounds) {
       val assigned = data.withColumn("c", assignExpr(centres))
-      centres = assigned.groupBy("c")
+      val updated = assigned.groupBy("c")
         .agg(avg("x").as("x"), avg("y").as("y"))
         .as[(Int, Double, Double)].collect()
-        .map { case (c, x, y) => Centre(c, x, y) }.toSeq.sortBy(_.c)
+        .map { case (c, x, y) => c -> Centre(c, x, y) }.toMap
+      // an empty cluster keeps its previous centre so k stays fixed for
+      // every later round (the reference Lloyd loop never drops a class)
+      centres = centres.map(c => updated.getOrElse(c.c, c))
       r += 1
     }
     val out = data.withColumn("c", assignExpr(centres)).select("id", "x", "y", "c")

@@ -63,10 +63,13 @@ object Knn {
         .filter(col("doc_id") =!= col("qid"))
         .withColumn("d2", expr("(lon - qx) * (lon - qx) + (lat - qy) * (lat - qy)"))
         .filter(col("d2") <= lit(r * r))
-      cand.withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2"), col("doc_id"))))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn").as("rank"), col("doc_id").as("nid"), col("d2"))
+      // bounded top-k: O(k) state per query, map-side partials — the
+      // NMinimizer shape; no Exchange+Sort+Window of the candidate stream.
+      cand.groupBy("qid")
+        .agg(graft.agg.TopKByDist.topK(5)(col("d2"), col("doc_id")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), expr("cast(pos + 1 as int)").as("rank"),
+          col("col.id").as("nid"), col("col.dist").as("d2"))
         .orderBy("qid", "rank")
     }),
 
@@ -85,10 +88,12 @@ object Knn {
         .join(pts, Seq("bx", "by"))
         .withColumn("d2", expr("(lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)"))
         .filter(col("d2") <= lit(maxD * maxD))
-      cand.withColumn("rn", row_number().over(
-          Window.partitionBy("ix", "iy").orderBy(col("d2"), col("doc_id"))))
-        .filter(col("rn") === 1)
-        .select("ix", "iy", "doc_id", "d2")
+      // 1-NN as a bounded aggregate (k=1 NMinimizer) — map-side partials,
+      // shuffle carries one row per cell, never the candidate stream.
+      cand.groupBy("ix", "iy")
+        .agg(graft.agg.TopKByDist.topK(1)(col("d2"), col("doc_id")).as("tk"))
+        .select(col("ix"), col("iy"),
+          expr("tk[0].id").as("doc_id"), expr("tk[0].dist").as("d2"))
         .orderBy("ix", "iy")
     }),
 

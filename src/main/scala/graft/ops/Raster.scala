@@ -34,6 +34,30 @@ object Raster {
     * is declared nodata ((ix+iy) % 13 == 0), mirroring FIXTURES.md §3. */
   val nodataCond = "((ix + iy) % 13) = 0"
 
+  /** Distributed CDF over the distinct values of column `v`: a hash
+    * aggregate builds the value histogram (map-side partials, one row per
+    * distinct value), the BOUNDED histogram is cumsum'd on the driver, and
+    * the resulting LUT is broadcast-joined back — the reference's own
+    * histogram-CDF shape (quantiles.rs:199, histogram_equalization.rs).
+    * cdf(v) = (# rows ≤ v)/n, the exact cume_dist value, as one double
+    * division of two exact integers (bit-identical to the oracle's
+    * cume_dist()). No global-order Sort/Window anywhere: the only ordered
+    * pass runs over the ≤|distinct v| LUT on the driver (the reference
+    * bounds this by its 10,000-bin histogram; our density values are
+    * bounded the same way). */
+  def cdfLut(s: SparkSession, g: DataFrame): DataFrame = {
+    import s.implicits._
+    val counts = g.groupBy("v").agg(count(lit(1)).as("c"))
+      .selectExpr("cast(v as bigint) AS v", "c")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var cum = 0L
+    counts.map { case (v, c) =>
+      cum += c
+      (v, cum.toDouble / n.toDouble)
+    }.toSeq.toDF("v", "cdf")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // VectorPointsToRaster with all assign modes at once:
@@ -116,12 +140,12 @@ object Raster {
         .orderBy("ix", "iy")
     }),
 
-    // CumulativeDistribution (cumulative_distribution.rs): CDF(v) over the
-    // grid via cume_dist (count(v' <= v)/n — deterministic).
+    // CumulativeDistribution (cumulative_distribution.rs): CDF(v) per cell,
+    // computed as a distributed histogram + broadcast CDF LUT (no
+    // global-order window; see cdfLut). Values equal cume_dist exactly.
     "cumulative_distribution" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      density(s, dir, 6)
-        .withColumn("cdf", cume_dist().over(Window.orderBy("v")))
+      val g = density(s, dir, 6)
+      g.join(broadcast(cdfLut(s, g)), "v")
         .select("ix", "iy", "cdf")
         .orderBy("ix", "iy")
     }),
@@ -142,11 +166,11 @@ object Raster {
     }),
 
     // HistogramEqualization (histogram_equalization.rs): v' = floor(CDF·255)
-    // via cume_dist — global LUT expressed as a window.
+    // via the distributed histogram-CDF LUT (broadcast join, no window).
     "histogram_equalization" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      density(s, dir, 6)
-        .withColumn("v_eq", expr("cast(floor(cume_dist() OVER (ORDER BY v) * 255.0e0) as bigint)"))
+      val g = density(s, dir, 6)
+      g.join(broadcast(cdfLut(s, g)), "v")
+        .withColumn("v_eq", expr("cast(floor(cdf * 255.0e0) as bigint)"))
         .select("ix", "iy", "v_eq")
         .orderBy("ix", "iy")
     }),

@@ -51,10 +51,36 @@ object Relational {
         .orderBy("doc_id")
     }),
 
-    // Quantiles: 4 quantile bins by (n_chars, doc_id) total order.
+    // Quantiles (quantiles.rs:199-262): the reference's 10,000-bin
+    // high-res histogram CDF, k=4 quantiles. Distributed shape: one tiny
+    // extent agg, one distributed bin histogram, driver-side cumsum over
+    // the ≤10k bins → broadcast (bin → quantile) LUT joined back. No
+    // global-order window anywhere; every float op mirrors the reference
+    // (bin_size = ceil(range)/10000, cdf = 100·cum/n, q = floor(cdf/25),
+    // q==k → k−1, output = q+1).
     "quantiles" -> ((s, dir) => {
-      Tables.pages(s, dir)
-        .withColumn("bin", ntile(4).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      import s.implicits._
+      val k = 4
+      val p = Tables.pages(s, dir).select("doc_id", "n_chars")
+      val Array((mn, mx, n)) = p
+        .agg(expr("cast(min(n_chars) as bigint)"), expr("cast(max(n_chars) as bigint)"), count(lit(1)))
+        .as[(Long, Long, Long)].collect()
+      val binSize = math.ceil((mx - mn).toDouble) / 10000.0
+      val binExpr = "least(cast(floor(cast(n_chars - " + mn + " as double) / " +
+        graft.core.Lit.d(binSize) + ") as bigint), 9999)"
+      val hist = p.selectExpr(s"$binExpr AS bin")
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      var cum = 0L
+      val lut = hist.map { case (b, c) =>
+        cum += c
+        val cdf = (100.0 * cum.toDouble) / n.toDouble
+        var q = math.floor(cdf / (100.0 / k))
+        if (q == k.toDouble) q = (k - 1).toDouble
+        (b, q.toLong + 1L)
+      }.toSeq.toDF("bin0", "bin")
+      p.withColumn("bin0", expr(binExpr))
+        .join(broadcast(lut), "bin0")
         .select("doc_id", "n_chars", "bin")
         .orderBy("doc_id")
     }),
@@ -138,9 +164,19 @@ object Relational {
         "ORDER BY doc_id"),
     "reclass" ->
       s"$pagesWith SELECT doc_id, $reclassCase AS class FROM pages ORDER BY doc_id",
-    "quantiles" ->
-      (s"$pagesWith SELECT doc_id, n_chars, " +
-        "ntile(4) OVER (ORDER BY n_chars, doc_id) AS bin FROM pages ORDER BY doc_id"),
+    "quantiles" -> {
+      // twin of the reference 10k-bin histogram CDF; same float op order.
+      val binE = "least(cast(floor(cast(n_chars - mn as double) / " +
+        "(ceil(cast(mx - mn as double)) / 10000.0e0)) as bigint), 9999)"
+      val qE = "floor(((100.0e0 * cum) / n) / 25.0e0)"
+      s"$pagesWith, ext AS (SELECT cast(min(n_chars) as bigint) AS mn, " +
+        "cast(max(n_chars) as bigint) AS mx, count(*) AS n FROM pages), " +
+        s"b AS (SELECT doc_id, n_chars, $binE AS bin FROM pages, ext), " +
+        "h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin), " +
+        "cm AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
+        s"q AS (SELECT bin, cast(CASE WHEN $qE = 4.0e0 THEN 3.0e0 ELSE $qE END as bigint) + 1 AS qbin FROM cm, ext) " +
+        "SELECT doc_id, n_chars, qbin AS bin FROM b JOIN q USING (bin) ORDER BY doc_id"
+    },
     "cross_tabulation" ->
       "SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY lang, source",
     "list_unique_values" ->
