@@ -30,7 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     spatialQueries ++ Zonal.queries ++ Raster.queries ++ Relational.queries ++
       Knn.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
-      Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++ Map(
+      Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++
+      graft.ops.Terrain.queries ++ Map(
         // Clump (CCL via label propagation) — no SQL-expressible oracle;
         // the driver records the weaker rows-only check, ClumpSpec pins
         // the partition against a scalar flood fill.
@@ -110,7 +111,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     spatialOracles ++ Zonal.oracles ++ Raster.oracles ++ Relational.oracles ++
       Knn.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles
+      Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles ++
+      graft.ops.Terrain.oracles
 
   private def spatialOracles: Map[String, String] = {
     val d = DuckD

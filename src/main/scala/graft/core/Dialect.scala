@@ -31,6 +31,12 @@ sealed trait Dialect {
   def tokens(t: String): String
   /** element i (1-based) of a float array, as double */
   def elemD(arr: String, i: Int): String
+  /** element at a dynamic 1-based index expression */
+  def elemE(arr: String, i: String): String
+  /** array length */
+  def alen(arr: String): String
+  /** ascending sort of an array-typed aggregate of `e` */
+  def sortedList(e: String): String
 }
 
 /** Spark SQL (Catalyst) dialect. `conv` parses hex → decimal string. */
@@ -48,6 +54,9 @@ case object SparkD extends Dialect {
     s"transform(sequence(1, greatest(length($t) - 7, 1)), i -> substring($t, i, 8))"
   def tokens(t: String): String = s"split($t, '\\\\s+')"
   def elemD(arr: String, i: Int): String = s"cast(element_at($arr, $i) as double)"
+  def elemE(arr: String, i: String): String = s"element_at($arr, cast(($i) as int))"
+  def alen(arr: String): String = s"size($arr)"
+  def sortedList(e: String): String = s"sort_array(collect_list($e))"
 }
 
 /** DuckDB dialect (the driver's oracle engine). */
@@ -65,6 +74,9 @@ case object DuckD extends Dialect {
     s"list_transform(range(1, greatest(length($t) - 7, 1) + 1), i -> substring($t, i, 8))"
   def tokens(t: String): String = s"regexp_split_to_array($t, '\\s+')"
   def elemD(arr: String, i: Int): String = s"(($arr)[$i]::double)"
+  def elemE(arr: String, i: String): String = s"($arr)[$i]"
+  def alen(arr: String): String = s"len($arr)"
+  def sortedList(e: String): String = s"list_sort(list($e))"
 }
 
 /** SQL double literals. Bare fractional literals parse as DECIMAL in both

@@ -43,6 +43,60 @@ object Focal {
     "h AS (SELECT c.ix, c.iy, c.v, n.v AS nv FROM g c JOIN g n " +
       "ON n.ix BETWEEN c.ix - 1 AND c.ix + 1 AND n.iy BETWEEN c.iy - 1 AND c.iy + 1)"
 
+  /** Halo variant that keeps the (dx, dy) offset and the centre value —
+    * the frame for weighted kernels (Gaussian/Sobel/Laplacian) and the
+    * Horn terrain kernels. Same equi-join plan as halo(). */
+  private[ops] def haloD(g: DataFrame): DataFrame = {
+    val centers = g.select(col("ix").as("cix"), col("iy").as("ciy"), col("v"))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("nix", col("cix") + col("dx"))
+      .withColumn("niy", col("ciy") + col("dy"))
+    centers.join(g.select(col("ix").as("nix"), col("iy").as("niy"), col("v").as("nv")),
+      Seq("nix", "niy"))
+      .select(col("cix").as("ix"), col("ciy").as("iy"), col("v"),
+        col("dx"), col("dy"), col("nv"))
+  }
+
+  private val duckHaloD =
+    "h AS (SELECT c.ix, c.iy, c.v, n.ix - c.ix AS dx, n.iy - c.iy AS dy, n.v AS nv " +
+      "FROM g c JOIN g n ON n.ix BETWEEN c.ix - 1 AND c.ix + 1 AND n.iy BETWEEN c.iy - 1 AND c.iy + 1)"
+
+  // ---- shared kernel expression builders (identical math both dialects) --
+
+  /** exact median of a sorted array: middle element, or mean of the two
+    * middles (median_filter.rs semantics over the 3×3 window). */
+  private def medianExpr(d: Dialect, arr: String): String = {
+    val n = d.alen(arr)
+    val odd = d.elemE(arr, d.idiv(s"(($n) + 1)", "2"))
+    val e1 = d.elemE(arr, d.idiv(s"($n)", "2"))
+    val e2 = d.elemE(arr, s"${d.idiv(s"($n)", "2")} + 1")
+    s"CASE WHEN ($n) % 2 = 1 THEN cast($odd as double) " +
+      s"ELSE (cast($e1 as double) + cast($e2 as double)) / 2.0e0 END"
+  }
+
+  /** nearest-rank 75th percentile of a sorted array (percentile_filter.rs
+    * family; nearest-rank keeps the arithmetic integer-exact). */
+  private def pctlExpr(d: Dialect, arr: String): String = {
+    val idx = s"greatest(cast(ceil(0.75e0 * (${d.alen(arr)})) as bigint), 1)"
+    s"cast(${d.elemE(arr, idx)} as double)"
+  }
+
+  /** binomial 3×3 kernel [1,2,1]⊗[1,2,1] — the σ≈0.85 Gaussian
+    * (gaussian_filter.rs) with integer weights so sums stay exact;
+    * normalized over the weights of PRESENT neighbours (the reference
+    * renormalizes over valid cells). */
+  private val wBinom = "(2 - abs(dx)) * (2 - abs(dy))"
+
+  /** Sobel x/y kernels as weight functions of the offset (sobel_filter.rs:
+    * [[-1,0,1],[-2,0,2],[-1,0,1]]); absent neighbours contribute 0. */
+  private val wSobelX = "dx * (2 - abs(dy))"
+  private val wSobelY = "dy * (2 - abs(dx))"
+
+  /** 4-connected Laplacian kernel (laplacian_filter.rs default). */
+  private val wLaplace =
+    "CASE WHEN dx = 0 AND dy = 0 THEN 4 WHEN abs(dx) + abs(dy) = 1 THEN -1 ELSE 0 END"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MeanFilter / TotalFilter / Min-Max / RangeFilter in one pass (exact:
@@ -55,6 +109,66 @@ object Focal {
              min("nv").as("f_min"), max("nv").as("f_max"),
              (max("nv") - min("nv")).as("f_range"),
              count(lit(1)).as("n_nbrs"))
+        .orderBy("ix", "iy")
+    }),
+
+    // MedianFilter (median_filter.rs): exact 3×3 median via sorted array.
+    "focal_median" -> ((s, dir) => {
+      halo(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy")
+        .agg(expr(SparkD.sortedList("nv")).as("a"))
+        .selectExpr("ix", "iy", s"${medianExpr(SparkD, "a")} AS f_median")
+        .orderBy("ix", "iy")
+    }),
+
+    // MajorityFilter (majority_filter.rs): modal neighbour value, ties →
+    // lowest value. Two hash aggregates + an equi-join — no windows.
+    "focal_majority" -> ((s, dir) => {
+      val cnts = halo(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy", "nv").agg(count(lit(1)).as("c"))
+      val mx = cnts.groupBy("ix", "iy").agg(max("c").as("mc"))
+      cnts.join(mx, Seq("ix", "iy")).filter(col("c") === col("mc"))
+        .groupBy("ix", "iy").agg(min("nv").as("f_mode"), max("c").as("mode_n"))
+        .orderBy("ix", "iy")
+    }),
+
+    // PercentileFilter: nearest-rank p75 of the 3×3 window.
+    "focal_percentile" -> ((s, dir) => {
+      halo(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy")
+        .agg(expr(SparkD.sortedList("nv")).as("a"))
+        .selectExpr("ix", "iy", s"${pctlExpr(SparkD, "a")} AS f_p75")
+        .orderBy("ix", "iy")
+    }),
+
+    // GaussianFilter via the integer binomial kernel; exact sums, one
+    // double division per cell.
+    "focal_gaussian" -> ((s, dir) => {
+      haloD(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy")
+        .agg(expr(s"cast(sum(nv * $wBinom) as bigint)").as("sw"),
+             expr(s"cast(sum($wBinom) as bigint)").as("w"))
+        .selectExpr("ix", "iy",
+          "cast(sw as double) / cast(w as double) AS v_g")
+        .orderBy("ix", "iy")
+    }),
+
+    // SobelFilter: gradient magnitude from the two integer kernel sums.
+    "sobel_filter" -> ((s, dir) => {
+      haloD(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy")
+        .agg(expr(s"cast(sum(nv * ($wSobelX)) as bigint)").as("gx"),
+             expr(s"cast(sum(nv * ($wSobelY)) as bigint)").as("gy"))
+        .selectExpr("ix", "iy", "gx", "gy",
+          "sqrt(cast(gx * gx + gy * gy as double)) AS magnitude")
+        .orderBy("ix", "iy")
+    }),
+
+    // LaplacianFilter: 4-connected integer kernel sum.
+    "laplacian_filter" -> ((s, dir) => {
+      haloD(Raster.density(s, dir, 6))
+        .groupBy("ix", "iy")
+        .agg(expr(s"cast(sum(nv * ($wLaplace)) as bigint)").as("lap"))
         .orderBy("ix", "iy")
     }),
 
@@ -181,6 +295,36 @@ object Focal {
     "focal_diversity" ->
       (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHalo " +
         "SELECT ix, iy, count(DISTINCT nv) AS f_div FROM h GROUP BY ix, iy ORDER BY ix, iy"),
+    "focal_median" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHalo, " +
+        s"ag AS (SELECT ix, iy, ${DuckD.sortedList("nv")} AS a FROM h GROUP BY ix, iy) " +
+        s"SELECT ix, iy, ${medianExpr(DuckD, "a")} AS f_median FROM ag ORDER BY ix, iy"),
+    "focal_majority" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHalo, " +
+        "cnts AS (SELECT ix, iy, nv, count(*) AS c FROM h GROUP BY 1, 2, 3), " +
+        "mx AS (SELECT ix, iy, max(c) AS mc FROM cnts GROUP BY 1, 2) " +
+        "SELECT c.ix AS ix, c.iy AS iy, min(nv) AS f_mode, max(c.c) AS mode_n " +
+        "FROM cnts c JOIN mx ON c.ix = mx.ix AND c.iy = mx.iy AND c.c = mx.mc " +
+        "GROUP BY 1, 2 ORDER BY ix, iy"),
+    "focal_percentile" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHalo, " +
+        s"ag AS (SELECT ix, iy, ${DuckD.sortedList("nv")} AS a FROM h GROUP BY ix, iy) " +
+        s"SELECT ix, iy, ${pctlExpr(DuckD, "a")} AS f_p75 FROM ag ORDER BY ix, iy"),
+    "focal_gaussian" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHaloD, " +
+        s"ag AS (SELECT ix, iy, cast(sum(nv * $wBinom) as bigint) AS sw, " +
+        s"cast(sum($wBinom) as bigint) AS w FROM h GROUP BY ix, iy) " +
+        "SELECT ix, iy, cast(sw as double) / cast(w as double) AS v_g FROM ag ORDER BY ix, iy"),
+    "sobel_filter" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHaloD, " +
+        s"ag AS (SELECT ix, iy, cast(sum(nv * ($wSobelX)) as bigint) AS gx, " +
+        s"cast(sum(nv * ($wSobelY)) as bigint) AS gy FROM h GROUP BY ix, iy) " +
+        "SELECT ix, iy, gx, gy, sqrt(cast(gx * gx + gy * gy as double)) AS magnitude " +
+        "FROM ag ORDER BY ix, iy"),
+    "laplacian_filter" ->
+      (s"$pagesWith, ${densityWith(DuckD, 6)}, $duckHaloD " +
+        s"SELECT ix, iy, cast(sum(nv * ($wLaplace)) as bigint) AS lap " +
+        "FROM h GROUP BY ix, iy ORDER BY ix, iy"),
     "resample_nn" -> {
       val c5 = s"c AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS pix, ${Geo.iy(DuckD, "lat", 5)} AS piy, count(*) AS v FROM pages GROUP BY 1, 2)"
       val f7 = s"f AS (SELECT ${Geo.ix(DuckD, "lon", 7)} AS ix, ${Geo.iy(DuckD, "lat", 7)} AS iy FROM pages GROUP BY 1, 2)"
