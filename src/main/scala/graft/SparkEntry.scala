@@ -31,7 +31,8 @@ object SparkEntry {
     spatialQueries ++ Zonal.queries ++ Raster.queries ++ Relational.queries ++
       Knn.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
       Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++
-      graft.ops.Terrain.queries ++ Map(
+      graft.ops.Terrain.queries ++ graft.ops.Stats.queries ++
+      graft.ops.Distance.queries ++ Map(
         // Clump (CCL via label propagation) — no SQL-expressible oracle;
         // the driver records the weaker rows-only check, ClumpSpec pins
         // the partition against a scalar flood fill.
@@ -112,7 +113,8 @@ object SparkEntry {
     spatialOracles ++ Zonal.oracles ++ Raster.oracles ++ Relational.oracles ++
       Knn.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles ++
-      graft.ops.Terrain.oracles
+      graft.ops.Terrain.oracles ++ graft.ops.Stats.oracles ++
+      graft.ops.Distance.oracles
 
   private def spatialOracles: Map[String, String] = {
     val d = DuckD

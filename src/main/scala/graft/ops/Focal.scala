@@ -97,6 +97,13 @@ object Focal {
   private val wLaplace =
     "CASE WHEN dx = 0 AND dy = 0 THEN 4 WHEN abs(dx) + abs(dy) = 1 THEN -1 ELSE 0 END"
 
+  /** fixed-order bilinear combine over the 4 gathered source values. */
+  private val bilinearE =
+    "(1.0e0 - fx) * (1.0e0 - fy) * cast(v00 as double) + " +
+      "fx * (1.0e0 - fy) * cast(v10 as double) + " +
+      "(1.0e0 - fx) * fy * cast(v01 as double) + " +
+      "fx * fy * cast(v11 as double)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MeanFilter / TotalFilter / Min-Max / RangeFilter in one pass (exact:
@@ -191,6 +198,42 @@ object Focal {
           expr("ix div 4").as("pix"), expr("iy div 4").as("piy"))
       fine.join(coarse, Seq("pix", "piy"))
         .select("ix", "iy", "v")
+        .orderBy("ix", "iy")
+    }),
+
+    // Resample bilinear (resample.rs:68-70 "bilinear"): each res-7 target
+    // cell centre gathers its 4 surrounding res-5 source cell centres
+    // (offset explode + equi-join — the 4-cell gather join), weights from
+    // the fractional position; emitted only where all 4 sources exist.
+    // Weighted combine is a FIXED-order expression over per-offset
+    // conditional maxes, so no order-dependent double summation.
+    "resample_bilinear" -> ((s, dir) => {
+      import graft.core.Lit.{d => L}
+      val rx7 = 360.0 / 128; val ry7 = 180.0 / 128
+      val rx5 = 360.0 / 32; val ry5 = 180.0 / 32
+      val coarse = Raster.density(s, dir, 5)
+        .select(col("ix").as("pix"), col("iy").as("piy"), col("v"))
+      val fine = Raster.density(s, dir, 7).select("ix", "iy")
+        .withColumn("tx", expr(s"(${L(rx7)} / 2.0e0 + ix * ${L(rx7)}) / ${L(rx5)} - 0.5e0"))
+        .withColumn("ty", expr(s"(${L(ry7)} / 2.0e0 + iy * ${L(ry7)}) / ${L(ry5)} - 0.5e0"))
+        .withColumn("gx", expr("cast(floor(tx) as bigint)"))
+        .withColumn("gy", expr("cast(floor(ty) as bigint)"))
+        .withColumn("fx", expr("tx - floor(tx)"))
+        .withColumn("fy", expr("ty - floor(ty)"))
+      val j = fine
+        .withColumn("ox", explode(sequence(lit(0), lit(1))))
+        .withColumn("oy", explode(sequence(lit(0), lit(1))))
+        .withColumn("pix", col("gx") + col("ox"))
+        .withColumn("piy", col("gy") + col("oy"))
+        .join(coarse, Seq("pix", "piy"))
+      j.groupBy("ix", "iy")
+        .agg(max("fx").as("fx"), max("fy").as("fy"), count(lit(1)).as("np"),
+          expr("max(CASE WHEN ox = 0 AND oy = 0 THEN v END)").as("v00"),
+          expr("max(CASE WHEN ox = 1 AND oy = 0 THEN v END)").as("v10"),
+          expr("max(CASE WHEN ox = 0 AND oy = 1 THEN v END)").as("v01"),
+          expr("max(CASE WHEN ox = 1 AND oy = 1 THEN v END)").as("v11"))
+        .filter(col("np") === 4)
+        .selectExpr("ix", "iy", s"$bilinearE AS v_b")
         .orderBy("ix", "iy")
     }),
 
@@ -330,6 +373,27 @@ object Focal {
       val f7 = s"f AS (SELECT ${Geo.ix(DuckD, "lon", 7)} AS ix, ${Geo.iy(DuckD, "lat", 7)} AS iy FROM pages GROUP BY 1, 2)"
       s"$pagesWith, $c5, $f7 SELECT ix, iy, v FROM f JOIN c " +
         s"ON ${DuckD.idiv("ix", "4")} = pix AND ${DuckD.idiv("iy", "4")} = piy ORDER BY ix, iy"
+    },
+    "resample_bilinear" -> {
+      import graft.core.Lit.{d => L}
+      val rx7 = L(360.0 / 128); val ry7 = L(180.0 / 128)
+      val rx5 = L(360.0 / 32); val ry5 = L(180.0 / 32)
+      val c5 = s"c AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS pix, ${Geo.iy(DuckD, "lat", 5)} AS piy, count(*) AS v FROM pages GROUP BY 1, 2)"
+      val f7 = s"f AS (SELECT ${Geo.ix(DuckD, "lon", 7)} AS ix, ${Geo.iy(DuckD, "lat", 7)} AS iy FROM pages GROUP BY 1, 2)"
+      val fine = s"fine AS (SELECT ix, iy, ($rx7 / 2.0e0 + ix * $rx7) / $rx5 - 0.5e0 AS tx, " +
+        s"($ry7 / 2.0e0 + iy * $ry7) / $ry5 - 0.5e0 AS ty FROM f)"
+      val fine2 = "fine2 AS (SELECT ix, iy, cast(floor(tx) as bigint) AS gx, " +
+        "cast(floor(ty) as bigint) AS gy, tx - floor(tx) AS fx, ty - floor(ty) AS fy FROM fine)"
+      val offs = "offs AS (SELECT 0 AS ox, 0 AS oy UNION ALL SELECT 1, 0 UNION ALL SELECT 0, 1 UNION ALL SELECT 1, 1)"
+      val j = "j AS (SELECT ix, iy, fx, fy, ox, oy, v FROM fine2 CROSS JOIN offs " +
+        "JOIN c ON pix = gx + ox AND piy = gy + oy)"
+      val ag = "ag AS (SELECT ix, iy, max(fx) AS fx, max(fy) AS fy, count(*) AS np, " +
+        "max(CASE WHEN ox = 0 AND oy = 0 THEN v END) AS v00, " +
+        "max(CASE WHEN ox = 1 AND oy = 0 THEN v END) AS v10, " +
+        "max(CASE WHEN ox = 0 AND oy = 1 THEN v END) AS v01, " +
+        "max(CASE WHEN ox = 1 AND oy = 1 THEN v END) AS v11 FROM j GROUP BY ix, iy)"
+      s"$pagesWith, $c5, $f7, $fine, $fine2, $offs, $j, $ag " +
+        s"SELECT ix, iy, $bilinearE AS v_b FROM ag WHERE np = 4 ORDER BY ix, iy"
     },
     "mosaic" ->
       (s"$pagesWith, en AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, ${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS v_en FROM pages WHERE lang = 'en' GROUP BY 1, 2), " +
