@@ -32,7 +32,7 @@ object SparkEntry {
       Knn.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
       Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++
       graft.ops.Terrain.queries ++ graft.ops.Stats.queries ++
-      graft.ops.Distance.queries ++ Map(
+      graft.ops.Distance.queries ++ graft.ops.Extras.queries ++ Map(
         // Clump (CCL via label propagation) — no SQL-expressible oracle;
         // the driver records the weaker rows-only check, ClumpSpec pins
         // the partition against a scalar flood fill.
@@ -57,7 +57,13 @@ object SparkEntry {
           val pts = PipJoin.zoneMembership(s, p)
             .join(p.select("doc_id", "lon", "lat"), "doc_id")
             .select(col("fid"), col("lon").as("x"), col("lat").as("y"))
-          graft.ops.Hull.featureHulls(s, pts).orderBy("fid")
+          // rounded: the oracle recomputes the hull by Jarvis march (same
+          // vertex sequence as the Graham clone) but its area/calipers
+          // aggregations are order-free double sums.
+          graft.ops.Hull.featureHulls(s, pts)
+            .selectExpr("fid", "hull_n", "round(hull_area, 6) AS hull_area",
+              "round(mbb_area, 4) AS mbb_area")
+            .orderBy("fid")
         })
       )
 
@@ -114,7 +120,10 @@ object SparkEntry {
       Knn.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles ++
       graft.ops.Terrain.oracles ++ graft.ops.Stats.oracles ++
-      graft.ops.Distance.oracles
+      graft.ops.Distance.oracles ++ graft.ops.Extras.oracles ++ Map(
+        "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
+        "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,
+        "clump" -> graft.ops.HardOracles.clumpSql)
 
   private def spatialOracles: Map[String, String] = {
     val d = DuckD

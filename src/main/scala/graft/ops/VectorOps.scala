@@ -115,9 +115,44 @@ object VectorOps {
 
     // LineIntersections (line_intersections.rs + line_segment.rs:33-56):
     // general-position point intersections between the two NYC layers.
-    "line_intersections" -> ((s, dir) => {
-      Tables.register(s, dir)
-      s.sql(lineIntersectionsSql(graft.core.SparkD))
+    // Spark plan: distributed segment build (range-bucketed ranks, no
+    // global window) → bbox cell-cover explode → CELL-EQUI JOIN → distinct
+    // candidate pairs → exact t/u residual. No CartesianProduct anywhere;
+    // the oracle keeps the brute-force windowed form.
+    "line_intersections" -> ((s, dir) =>
+      lineIntersections(s, dir)
+        .select("sa", "sb", "px", "py")
+        .orderBy("sa", "sb")),
+
+    // SplitWithLines (split_with_lines.rs:254-330, line_ops.rs:32-69):
+    // split the l1 polyline features (20-vertex parents) at their strict-
+    // interior intersections with the l2 layer, reassemble parts — split
+    // vertices end one part and start the next (duplicated into both).
+    // Spark side reuses the cell-join intersection pipeline; the per-
+    // parent windows are PARTITIONED (bounded 20-vertex features), never
+    // global. Output: one row per resulting part with its parent feature.
+    "split_with_lines" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = rankedPoints(s, dir, byLat = false)
+      val verts = pts.selectExpr("(sid - 1) div 20 AS parent",
+        "cast((sid - 1) % 20 as double) AS k", "lon AS x", "lat AS y", "0 AS is_split")
+      val spl = lineIntersections(s, dir)
+        .filter(expr("t > 0.0e0 AND t < 1.0e0 AND ((sa - 1) % 20) < 19"))
+        .selectExpr("(sa - 1) div 20 AS parent",
+          "cast((sa - 1) % 20 as double) + t AS k", "px AS x", "py AS y", "1 AS is_split")
+        .distinct()
+      val w = Window.partitionBy("parent").orderBy("k")
+      val wp = verts.unionByName(spl).withColumn("part", sum("is_split").over(w))
+      val allp = wp.select("parent", "k", "x", "y", "part")
+        .unionByName(wp.filter(col("is_split") === 1)
+          .select(col("parent"), col("k"), col("x"), col("y"), (col("part") - 1).as("part")))
+      allp.groupBy("parent", "part")
+        .agg(count(lit(1)).as("n_vertices"),
+          expr("min_by(x, k)").as("x_first"), expr("min_by(y, k)").as("y_first"),
+          expr("max_by(x, k)").as("x_last"), expr("max_by(y, k)").as("y_last"))
+        .selectExpr("parent AS parent_fid", "cast(part as bigint) AS part_id",
+          "n_vertices", "x_first", "y_first", "x_last", "y_last")
+        .orderBy("parent_fid", "part_id")
     }),
 
     // SmoothVectors (smooth_vectors.rs:294-315): 3-point moving average
@@ -152,8 +187,79 @@ object VectorOps {
     ks.map(k => s"$arr[$k]").mkString("(", " + ", s") / 3.0e0")
   }
 
-  /** Shared (dialect-parametric) SQL for line_intersections — the same
-    * string runs on Spark and DuckDB, so parity is structural. */
+  // ---- distributed line-layer build (Spark side) -----------------------
+
+  /** Global point ranks over the NYC subset WITHOUT a global-order window:
+    * range-bucket on the leading order key (so bucket boundaries respect
+    * the total order), rank within bucket (partitioned window, bounded
+    * groups), then add per-bucket offsets from a driver-side cumsum over
+    * the tiny bucket-count LUT — the distributed-rank pattern. */
+  private def rankedPoints(s: SparkSession, dir: String, byLat: Boolean): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.pages(s, dir).filter(expr(nycBox)).select("doc_id", "lon", "lat")
+    val withB = pts.withColumn("bk",
+      if (byLat) expr("cast(floor(lat * 50.0e0) as bigint)") else expr("doc_id div 64"))
+    val counts = withB.groupBy("bk").count().as[(Long, Long)].collect().sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (k, c) => val o = off; off += c; (k, o) }
+      .toSeq.toDF("bk", "off")
+    val w = if (byLat) Window.partitionBy("bk").orderBy(col("lat"), col("doc_id"))
+            else Window.partitionBy("bk").orderBy(col("doc_id"))
+    withB.withColumn("lr", row_number().over(w))
+      .join(broadcast(offsets), "bk")
+      .select((col("off") + col("lr")).as("sid"), col("lon"), col("lat"))
+  }
+
+  /** Consecutive-rank segments via a sid ↔ sid+1 equi-join. */
+  private def segs(pts: DataFrame): DataFrame =
+    pts.select(col("sid"), col("lon").as("x1"), col("lat").as("y1"))
+      .join(pts.select((col("sid") - 1).as("sid"), col("lon").as("x2"), col("lat").as("y2")),
+        "sid")
+
+  /** bbox cover cells of a segment over an 8×8 NYC grid (cell 0.025°) —
+    * the PipJoin.coverCells pattern as a generator expression. */
+  private def withCover(df: DataFrame): DataFrame =
+    df.withColumn("cix", explode(expr(
+        "sequence(cast(floor((least(x1, x2) - -74.05e0) / 0.025e0) as bigint), " +
+          "cast(floor((greatest(x1, x2) - -74.05e0) / 0.025e0) as bigint))")))
+      .withColumn("ciy", explode(expr(
+        "sequence(cast(floor((least(y1, y2) - 40.65e0) / 0.025e0) as bigint), " +
+          "cast(floor((greatest(y1, y2) - 40.65e0) / 0.025e0) as bigint))")))
+      .withColumn("cell", expr("cix * 1024 + ciy"))
+
+  /** Cell-join candidate pairs + exact intersection residual. Returns one
+    * row per intersecting (sa, sb) with the l1 segment endpoints and the
+    * intersection parameter t (for SplitWithLines). */
+  private[ops] def lineIntersections(s: SparkSession, dir: String): DataFrame = {
+    val l1 = withCover(segs(rankedPoints(s, dir, byLat = false)))
+      .select(col("cell"), col("sid").as("sa"), col("x1").as("ax1"), col("y1").as("ay1"),
+        col("x2").as("ax2"), col("y2").as("ay2"))
+    val l2 = withCover(segs(rankedPoints(s, dir, byLat = true)))
+      .select(col("cell"), col("sid").as("sb"), col("x1").as("bx1"), col("y1").as("by1"),
+        col("x2").as("bx2"), col("y2").as("by2"))
+    val cand = l1.join(l2, "cell")
+      .drop("cell")
+      .distinct() // a pair sharing k cells appears k times; coords are pair-determined
+    cand
+      .withColumn("denom", expr(
+        "(ax1 - ax2) * (by1 - by2) - (ay1 - ay2) * (bx1 - bx2)"))
+      // CASE-guarded divisions: ANSI mode errors on x/0 even for doubles,
+      // and Catalyst may reorder the denom<>0 conjunct after projection
+      // collapse; the guard keeps the division unreachable at denom = 0.
+      .withColumn("t", expr(
+        "CASE WHEN denom = 0.0e0 THEN NULL ELSE " +
+          "((ax1 - bx1) * (by1 - by2) - (ay1 - by1) * (bx1 - bx2)) / denom END"))
+      .withColumn("u", expr(
+        "CASE WHEN denom = 0.0e0 THEN NULL ELSE " +
+          "-((ax1 - ax2) * (ay1 - by1) - (ay1 - ay2) * (ax1 - bx1)) / denom END"))
+      .filter(expr(intersectCond))
+      .withColumn("px", expr("ax1 + t * (ax2 - ax1)"))
+      .withColumn("py", expr("ay1 + t * (ay2 - ay1)"))
+  }
+
+  /** Shared (dialect-parametric) SQL for line_intersections — runs on
+    * DuckDB as the oracle twin (brute-force all-pairs is fine there). */
   private def lineIntersectionsSql(d: graft.core.Dialect): String = {
     val segs = (orderCol: String) =>
       s"SELECT row_number() OVER (ORDER BY $orderCol) AS sid, " +
@@ -176,7 +282,46 @@ object VectorOps {
       s"FROM tu WHERE $intersectCond ORDER BY sa, sb"
   }
 
+  /** DuckDB oracle for split_with_lines: brute-force intersections (cross
+    * join is fine on the oracle side) + the same event/part reassembly. */
+  private def splitWithLinesSql: String = {
+    val d = DuckD
+    val segsQ = (orderCol: String) =>
+      s"SELECT row_number() OVER (ORDER BY $orderCol) AS sid, " +
+        "lon AS x1, lat AS y1, " +
+        s"lead(lon) OVER (ORDER BY $orderCol) AS x2, " +
+        s"lead(lat) OVER (ORDER BY $orderCol) AS y2 FROM nyc"
+    s"WITH pages AS (${Geo.pagesCte(d)}), " +
+      s"nyc AS (SELECT doc_id, lon, lat FROM pages WHERE $nycBox), " +
+      "p1 AS (SELECT row_number() OVER (ORDER BY doc_id) AS sid, lon, lat FROM nyc), " +
+      s"l1 AS (SELECT * FROM (${segsQ("doc_id")}) t WHERE x2 IS NOT NULL), " +
+      s"l2 AS (SELECT * FROM (${segsQ("lat, doc_id")}) t WHERE x2 IS NOT NULL), " +
+      "c AS (SELECT a.sid AS sa, a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2, " +
+      "b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2, " +
+      "(a.x1 - a.x2) * (b.y1 - b.y2) - (a.y1 - a.y2) * (b.x1 - b.x2) AS denom " +
+      "FROM l1 a, l2 b), " +
+      "tu AS (SELECT sa, ax1, ay1, ax2, ay2, denom, " +
+      "((ax1 - bx1) * (by1 - by2) - (ay1 - by1) * (bx1 - bx2)) / denom AS t, " +
+      "-((ax1 - ax2) * (ay1 - by1) - (ay1 - ay2) * (ax1 - bx1)) / denom AS u " +
+      "FROM c WHERE denom <> 0.0e0), " +
+      s"inter AS (SELECT sa, t, ax1 + t * (ax2 - ax1) AS px, ay1 + t * (ay2 - ay1) AS py " +
+      s"FROM tu WHERE $intersectCond AND t > 0.0e0 AND t < 1.0e0 AND ((sa - 1) % 20) < 19), " +
+      "verts AS (SELECT (sid - 1) // 20 AS parent, cast((sid - 1) % 20 as double) AS k, " +
+      "lon AS x, lat AS y, 0 AS is_split FROM p1), " +
+      "spl AS (SELECT DISTINCT (sa - 1) // 20 AS parent, cast((sa - 1) % 20 as double) + t AS k, " +
+      "px AS x, py AS y, 1 AS is_split FROM inter), " +
+      "ev AS (SELECT * FROM verts UNION ALL SELECT * FROM spl), " +
+      "wp AS (SELECT *, sum(is_split) OVER (PARTITION BY parent ORDER BY k) AS part FROM ev), " +
+      "allp AS (SELECT parent, k, x, y, part FROM wp " +
+      "UNION ALL SELECT parent, k, x, y, part - 1 FROM wp WHERE is_split = 1) " +
+      "SELECT parent AS parent_fid, cast(part as bigint) AS part_id, count(*) AS n_vertices, " +
+      "arg_min(x, k) AS x_first, arg_min(y, k) AS y_first, " +
+      "arg_max(x, k) AS x_last, arg_max(y, k) AS y_last " +
+      "FROM allp GROUP BY 1, 2 ORDER BY parent_fid, part_id"
+  }
+
   def oracles: Map[String, String] = Map(
+    "split_with_lines" -> splitWithLinesSql,
     "polygon_area_perimeter" ->
       (s"WITH rings AS $duckRingRows SELECT fid, ring_id, $duckAreaExpr AS area, " +
         s"$duckPerimExpr AS perimeter, ($duckAreaExpr) / (($duckPerimExpr) * ($duckPerimExpr)) AS compactness " +
