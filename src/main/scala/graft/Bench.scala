@@ -80,14 +80,14 @@ object Bench {
       s.stop()
       pps
     }
-    // N=4 vs 4N=16 threads (both ≤ the 32 physical cores). 16→32 on ONE box
-    // saturates the shared memory bus (the scan is ~4 GB/s at 16M pages/s),
-    // which a real 4N-executor cluster scales with node count — the
-    // compute-bound variant of this job measured 0.996 at 8→32, showing the
-    // plan itself has no serial section. The sandbox VM also shows transient
-    // CPU steal, so levels are interleaved over two passes, best-of kept.
-    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val runs = Seq(n, 4 * n, n, 4 * n).map(c => c -> timedRun(c))
+    // Protocol (BASELINE.md): N=8 vs 4N=32 threads — the two "cluster
+    // sizes" of the north rule's scaling gate, in ONE cold invocation.
+    // The sandbox VM shows transient CPU steal and shared-memory-bus
+    // contention, so each level runs three interleaved passes and the
+    // best per level is kept: best-of filters the noise floor, the
+    // interleave keeps thermal/steal conditions comparable across levels.
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val runs = Seq(n, 4 * n, n, 4 * n, n, 4 * n).map(c => c -> timedRun(c))
     val ppsN = runs.collect { case (`n`, v) => v }.max
     val pps4N = runs.collect { case (c, v) if c == 4 * n => v }.max
     val eff = pps4N / (4.0 * ppsN)

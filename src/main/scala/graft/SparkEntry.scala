@@ -32,7 +32,8 @@ object SparkEntry {
       Knn.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
       Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++
       graft.ops.Terrain.queries ++ graft.ops.Stats.queries ++
-      graft.ops.Distance.queries ++ graft.ops.Extras.queries ++ Map(
+      graft.ops.Distance.queries ++ graft.ops.Extras.queries ++
+      graft.ops.Extras2.queries ++ Map(
         // Clump (CCL via label propagation) — no SQL-expressible oracle;
         // the driver records the weaker rows-only check, ClumpSpec pins
         // the partition against a scalar flood fill.
@@ -72,6 +73,16 @@ object SparkEntry {
     // North-star #1: PIP join + zonal count over all fixture zones.
     "pip_zonal_count" -> ((s, dir) => {
       val m = PipJoin.zoneMembership(s, Tables.pages(s, dir))
+      m.groupBy("fid")
+        .agg(count(lit(1)).as("n_pages"),
+             min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("fid")
+    }),
+
+    // Same result via the documented degraded path: shuffled salted cell
+    // join (no broadcast) — proves the over-broadcast fallback is real.
+    "pip_zonal_count_shuffled" -> ((s, dir) => {
+      val m = PipJoin.zoneMembershipShuffled(s, Tables.pages(s, dir))
       m.groupBy("fid")
         .agg(count(lit(1)).as("n_pages"),
              min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
@@ -120,7 +131,8 @@ object SparkEntry {
       Knn.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles ++
       graft.ops.Terrain.oracles ++ graft.ops.Stats.oracles ++
-      graft.ops.Distance.oracles ++ graft.ops.Extras.oracles ++ Map(
+      graft.ops.Distance.oracles ++ graft.ops.Extras.oracles ++
+      graft.ops.Extras2.oracles ++ Map(
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,
         "clump" -> graft.ops.HardOracles.clumpSql)
@@ -129,6 +141,13 @@ object SparkEntry {
     val d = DuckD
     Map(
       "pip_zonal_count" -> {
+        val perZone = Zones.fids.map { f =>
+          s"SELECT $f AS fid, count(*) AS n_pages, min(doc_id) AS min_doc, " +
+            s"max(doc_id) AS max_doc FROM pages WHERE ${Zones.insideZoneSql(f, "lon", "lat")}"
+        }.mkString(" UNION ALL ")
+        s"${pagesWith(d)} SELECT * FROM ($perZone) t WHERE n_pages > 0 ORDER BY fid"
+      },
+      "pip_zonal_count_shuffled" -> {
         val perZone = Zones.fids.map { f =>
           s"SELECT $f AS fid, count(*) AS n_pages, min(doc_id) AS min_doc, " +
             s"max(doc_id) AS max_doc FROM pages WHERE ${Zones.insideZoneSql(f, "lon", "lat")}"

@@ -24,6 +24,7 @@ object Dedup {
 
   private val nHashes = 16
   private val bands = 8 // of 2 rows each
+  private val bucketCap = 1000 // max members per band bucket (skew bound)
 
   /** One md5 per shingle; the 16 family members derive arithmetically
     * (odd multiplier → bijection mod 2^32, plus an offset), so signature
@@ -86,13 +87,22 @@ object Dedup {
       signatures(s, dir).orderBy("doc_id")
     }),
 
-    // LSH candidate pairs: any of the 8 (h1,h2) bands collide.
+    // LSH candidate pairs: any of the 8 (h1,h2) bands collide. Buckets
+    // larger than `bucketCap` members are DROPPED before the self-join
+    // (both engines, so the oracle stays bit-exact): a viral shingle's
+    // bucket would otherwise contribute O(m²) pairs of near-zero signal —
+    // the standard web-dedup skew bound. AQE skew-split backstops the
+    // residual imbalance below the cap.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sig = signatures(s, dir)
       val bandDf = sig.selectExpr("doc_id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")}) AS (band, h1, h2)")
-      val l = bandDf.toDF("a", "band", "h1", "h2")
-      val r = bandDf.toDF("b", "band", "h1", "h2")
+      val keep = bandDf.groupBy("band", "h1", "h2")
+        .agg(count(lit(1)).as("bc")).filter(col("bc") <= bucketCap)
+        .select("band", "h1", "h2")
+      val pruned = bandDf.join(keep, Seq("band", "h1", "h2"))
+      val l = pruned.toDF("band", "h1", "h2", "a")
+      val r = pruned.toDF("band", "h1", "h2", "b")
       l.join(r, Seq("band", "h1", "h2"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
@@ -150,8 +160,11 @@ object Dedup {
       .mkString(" UNION ALL ") + ")"
 
   private def duckCand: String =
-    duckBandRows + ", cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b " +
-      "FROM bandrows l JOIN bandrows r ON l.band = r.band AND l.h1 = r.h1 " +
+    duckBandRows +
+      s", keepb AS (SELECT band, h1, h2 FROM bandrows GROUP BY 1, 2, 3 HAVING count(*) <= $bucketCap)" +
+      ", pruned AS (SELECT b.* FROM bandrows b JOIN keepb USING (band, h1, h2))" +
+      ", cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b " +
+      "FROM pruned l JOIN pruned r ON l.band = r.band AND l.h1 = r.h1 " +
       "AND l.h2 = r.h2 AND l.doc_id < r.doc_id)"
 
   def oracles: Map[String, String] = Map(

@@ -1,0 +1,255 @@
+package graft.ops
+
+import graft.core.{Dialect, DuckD, Geo, SparkD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second utility batch: binary morphology (Closing/Opening —
+  * closing.rs/opening.rs as dilate∘erode over the density mask),
+  * HistogramMatching (histogram_matching.rs: v′ = invCDF_target(CDF_src)),
+  * VectorLinesToRaster (vector_lines_to_raster.rs row-crossing scanline),
+  * ChangeVectorAnalysis (change_vector_analysis.rs: 2-band magnitude +
+  * sector), FindPatchOrClassEdgeCells, ElevationSlice (lidar_elevation
+  * _slice.rs over the z analogue), ConvertNodataToZero / IsNoData, and
+  * MergeTableWithCsv (a REAL csv source read + last-wins join).
+  *
+  * Morphology/edge plans are one or two halo hash-joins over the bounded
+  * mask; histogram matching reuses the driver-LUT CDF shape (cdfLut);
+  * everything else is cell-wise or one aggregate.
+  */
+object Extras2 {
+
+  private def pagesWith(d: Dialect) = s"WITH pages AS (${Geo.pagesCte(d)})"
+
+  private def densityG(d: Dialect, res: Int): String =
+    s"g AS (SELECT ${Geo.ix(d, "lon", res)} AS ix, ${Geo.iy(d, "lat", res)} AS iy, " +
+      s"count(*) AS v FROM pages GROUP BY 1, 2)"
+
+  // binary mask for morphology
+  private val maskCond = "v >= 2"
+
+  private def sparkMask(s: SparkSession, dir: String): DataFrame =
+    Raster.density(s, dir, 5).filter(expr(maskCond)).select("ix", "iy")
+
+  private def sparkDilate(m: DataFrame): DataFrame =
+    m.withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select((col("ix") + col("dx")).as("ix"), (col("iy") + col("dy")).as("iy"))
+      .distinct()
+
+  private def sparkErode(m: DataFrame): DataFrame =
+    m.withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("ix"), col("iy"), (col("ix") + col("dx")).as("nix"),
+        (col("iy") + col("dy")).as("niy"))
+      .join(m.select(col("ix").as("nix"), col("iy").as("niy")), Seq("nix", "niy"))
+      .groupBy("ix", "iy").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 9).select("ix", "iy")
+
+  private def duckMorph(d: Dialect): String =
+    s"${densityG(d, 5)}, m AS (SELECT ix, iy FROM g WHERE $maskCond), " +
+      "offs AS (SELECT a.d AS dx, b.d AS dy FROM (SELECT unnest([-1, 0, 1]) AS d) a, (SELECT unnest([-1, 0, 1]) AS d) b), " +
+      "dil AS (SELECT DISTINCT m.ix + dx AS ix, m.iy + dy AS iy FROM m, offs), " +
+      "er AS (SELECT c.ix, c.iy FROM m c JOIN m n ON n.ix BETWEEN c.ix - 1 AND c.ix + 1 " +
+      "AND n.iy BETWEEN c.iy - 1 AND c.iy + 1 GROUP BY 1, 2 HAVING count(*) = 9)"
+
+  // ---- lines_to_raster shared fragments ---------------------------------
+  private val nycBox = "lon >= -74.05e0 AND lon <= -73.85e0 AND lat >= 40.65e0 AND lat <= 40.85e0"
+  private val ry = "0.0125e0"
+  private val rx = "0.0125e0"
+  private val iy0E = s"cast(ceil((least(y1, y2) - 40.65e0 - $ry / 2.0e0) / $ry) as bigint)"
+  private val iy1E = s"cast(floor((greatest(y1, y2) - 40.65e0 - $ry / 2.0e0) / $ry) as bigint)"
+  private val ycE = s"40.65e0 + $ry / 2.0e0 + riy * $ry"
+  private val xcrossE = "x1 + (yc - y1) * (x2 - x1) / (y2 - y1)"
+  private val ixE = s"cast(floor((xc - -74.05e0) / $rx) as bigint)"
+
+  // ---- change-vector analysis -------------------------------------------
+  // band1 = per-cell count, band2 = per-cell n_chars sum; date1 = en,
+  // date2 = zh. Sector encodes the sign pattern (change_vector_analysis.rs
+  // quadrant coding); magnitude rounded to absorb sqrt-input assembly.
+  private def cvaSql(d: Dialect): String =
+    s"${pagesWith(d)}, " +
+      s"l AS (SELECT lang, ${Geo.ix(d, "lon", 5)} AS ix, ${Geo.iy(d, "lat", 5)} AS iy, " +
+      "count(*) AS b1, cast(sum(n_chars) as bigint) AS b2 FROM pages " +
+      "WHERE lang IN ('en', 'zh') GROUP BY 1, 2, 3), " +
+      "w AS (SELECT ix, iy, " +
+      "max(CASE WHEN lang = 'en' THEN b1 END) AS a1, max(CASE WHEN lang = 'en' THEN b2 END) AS a2, " +
+      "max(CASE WHEN lang = 'zh' THEN b1 END) AS z1, max(CASE WHEN lang = 'zh' THEN b2 END) AS z2 " +
+      "FROM l GROUP BY 1, 2) " +
+      "SELECT ix, iy, " +
+      "round(sqrt(cast((z1 - a1) * (z1 - a1) + (z2 - a2) * (z2 - a2) as double)), 6) AS magnitude, " +
+      "(CASE WHEN z1 >= a1 THEN 0 ELSE 1 END) + 2 * (CASE WHEN z2 >= a2 THEN 0 ELSE 1 END) AS sector " +
+      "FROM w WHERE a1 IS NOT NULL AND z1 IS NOT NULL ORDER BY ix, iy"
+
+  // ---- edge cells ---------------------------------------------------------
+  // class = 3-way reclass of density; edge ⇔ a 4-neighbour is missing or
+  // has a different class (find_patch_or_class_edge_cells.rs semantics on
+  // the sparse grid).
+  private val classE = "CASE WHEN v < 2 THEN 1 WHEN v < 5 THEN 2 ELSE 3 END"
+
+  private def edgeSql(d: Dialect): String =
+    s"${pagesWith(d)}, ${densityG(d, 6)}, " +
+      s"cg AS (SELECT ix, iy, $classE AS cls FROM g), " +
+      "h AS (SELECT c.ix, c.iy, c.cls, n.cls AS ncls FROM cg c JOIN cg n " +
+      "ON abs(n.ix - c.ix) + abs(n.iy - c.iy) = 1) " +
+      "SELECT cg.ix, cg.iy, cg.cls, " +
+      "CASE WHEN coalesce(t.n_present, 0) < 4 OR coalesce(t.n_same, 0) < coalesce(t.n_present, 0) " +
+      "THEN 1 ELSE 0 END AS is_edge " +
+      "FROM cg LEFT JOIN (SELECT ix, iy, count(*) AS n_present, " +
+      "cast(sum(CASE WHEN ncls = cls THEN 1 ELSE 0 END) as bigint) AS n_same " +
+      "FROM h GROUP BY 1, 2) t ON t.ix = cg.ix AND t.iy = cg.iy " +
+      "ORDER BY cg.ix, cg.iy"
+
+  private def elevSliceSql(d: Dialect): String =
+    s"${pagesWith(d)} SELECT CASE WHEN lat < -20.0e0 THEN 1 WHEN lat < 10.0e0 THEN 2 " +
+      "WHEN lat < 40.0e0 THEN 3 ELSE 4 END AS slice, count(*) AS n, " +
+      "cast(min(doc_id) as bigint) AS min_doc FROM pages GROUP BY 1 ORDER BY slice"
+
+  private def nodataSql(d: Dialect): String =
+    s"${pagesWith(d)}, ${densityG(d, 5)} " +
+      "SELECT ix, iy, CASE WHEN ((ix + iy) % 13) = 0 THEN 0 ELSE v END AS v0, " +
+      "CASE WHEN ((ix + iy) % 13) = 0 THEN 1 ELSE 0 END AS is_nd " +
+      "FROM g ORDER BY ix, iy"
+
+  // CSV fixture for merge_table_with_csv: deterministic rows, written by
+  // the Spark side as a REAL csv file and inlined as VALUES in the oracle.
+  private[ops] val csvRows: Seq[(Int, String, Double)] = (0 until 25).map { i =>
+    (i, s"region-$i", math.floor((i * 37 % 101) * 100.0) / 100.0)
+  }
+
+  private def linesToRasterSql(d: Dialect): String = {
+    val explodeRows = d match {
+      case SparkD => "LATERAL VIEW explode(sequence(iy0, iy1)) t AS riy"
+      case DuckD  => ", unnest(range(iy0, iy1 + 1)) AS u(riy)"
+    }
+    s"${pagesWith(d)}, nyc AS (SELECT doc_id, lon, lat FROM pages WHERE $nycBox), " +
+      "p2 AS (SELECT lon, lat, row_number() OVER (ORDER BY lat, doc_id) AS sid FROM nyc), " +
+      "segs AS (SELECT a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2 " +
+      "FROM p2 a JOIN p2 b ON b.sid = a.sid + 1 AND a.lat <> b.lat), " +
+      s"rows0 AS (SELECT x1, y1, x2, y2, $iy0E AS iy0, $iy1E AS iy1 FROM segs), " +
+      s"expl AS (SELECT x1, y1, x2, y2, riy FROM rows0 $explodeRows WHERE iy0 <= iy1), " +
+      s"cr AS (SELECT riy AS iy, $ixE AS ix FROM (SELECT riy, x1, x2, y1, y2, $xcrossE AS xc " +
+      s"FROM (SELECT *, $ycE AS yc FROM expl) t0) t1) " +
+      "SELECT ix, iy, count(*) AS n_cross FROM cr GROUP BY 1, 2 ORDER BY ix, iy"
+  }
+
+  private val builders: Map[String, Dialect => String] = Map(
+    "morph_opening" -> (d =>
+      s"${pagesWith(d)}, ${duckMorph(d)}, " +
+        "opened AS (SELECT DISTINCT er.ix + dx AS ix, er.iy + dy AS iy FROM er, offs) " +
+        "SELECT ix, iy FROM opened ORDER BY ix, iy"),
+    "morph_closing" -> (d =>
+      s"${pagesWith(d)}, ${duckMorph(d)}, " +
+        "closed AS (SELECT c.ix, c.iy FROM dil c JOIN dil n ON n.ix BETWEEN c.ix - 1 AND c.ix + 1 " +
+        "AND n.iy BETWEEN c.iy - 1 AND c.iy + 1 GROUP BY 1, 2 HAVING count(*) = 9) " +
+        "SELECT ix, iy FROM closed ORDER BY ix, iy"),
+    "change_vector_analysis" -> cvaSql,
+    "edge_cells" -> edgeSql,
+    "elevation_slice" -> elevSliceSql,
+    "convert_nodata_to_zero" -> nodataSql,
+    "lines_to_raster" -> linesToRasterSql
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (builders -- Seq("morph_opening", "morph_closing", "lines_to_raster")).map {
+      case (name, b) =>
+        name -> ((s: SparkSession, dir: String) => {
+          Tables.register(s, dir)
+          s.sql(b(SparkD))
+        })
+    } ++ Map(
+      // morphology via the explode-equi-join halo (never a range join)
+      "morph_opening" -> ((s: SparkSession, dir: String) =>
+        sparkDilate(sparkErode(sparkMask(s, dir))).orderBy("ix", "iy")),
+      "morph_closing" -> ((s: SparkSession, dir: String) =>
+        sparkErode(sparkDilate(sparkMask(s, dir))).orderBy("ix", "iy")),
+      // distributed rank build (no global window) + row-crossing scanline
+      "lines_to_raster" -> (linesToRasterSpark _),
+      // HistogramMatching: CDF LUTs of source (full density) and target
+      // (en-layer density), composed on the driver, broadcast back.
+      "histogram_matching" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        val src = Raster.density(s, dir, 6)
+        val tgt = Tables.pages(s, dir).filter(col("lang") === "en")
+          .withColumn("ix", expr(Geo.ix(SparkD, "lon", 6)))
+          .withColumn("iy", expr(Geo.iy(SparkD, "lat", 6)))
+          .groupBy("ix", "iy").agg(count(lit(1)).as("v"))
+        val sLut = Raster.cdfLut(s, src).as[(Long, Double)].collect().sortBy(_._1)
+        val tLut = Raster.cdfLut(s, tgt).as[(Long, Double)].collect().sortBy(_._1)
+        val mapping = sLut.map { case (v, c) =>
+          (v, tLut.find(_._2 >= c).map(_._1).getOrElse(tLut.last._1))
+        }.toSeq.toDF("v", "v_m")
+        src.join(broadcast(mapping), "v")
+          .select("ix", "iy", "v_m").orderBy("ix", "iy")
+      }),
+      // MergeTableWithCsv: write the deterministic CSV, read it back as a
+      // REAL csv source, last-wins left join onto nation.
+      "merge_table_with_csv" -> ((s: SparkSession, dir: String) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_csv"
+        import s.implicits._
+        csvRows.toDF("rid", "rname", "score").coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        val csv = s.read.option("header", "true")
+          .schema("rid INT, rname STRING, score DOUBLE").csv(tmp)
+        Tables.table(s, dir, "nation")
+          .join(csv, col("n_nationkey") === col("rid"), "left")
+          .select(col("n_nationkey"), col("n_name"), col("rname"), col("score"))
+          .orderBy("n_nationkey")
+      })
+    )
+
+  private def linesToRasterSpark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.pages(s, dir).filter(expr(nycBox)).select("doc_id", "lon", "lat")
+      .withColumn("bk", expr("cast(floor(lat * 50.0e0) as bigint)"))
+    val counts = pts.groupBy("bk").count().as[(Long, Long)].collect().sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (k, c) => val o = off; off += c; (k, o) }
+      .toSeq.toDF("bk", "off")
+    val ranked = pts
+      .withColumn("lr", row_number().over(Window.partitionBy("bk").orderBy(col("lat"), col("doc_id"))))
+      .join(broadcast(offsets), "bk")
+      .select((col("off") + col("lr")).as("sid"), col("lon"), col("lat"))
+    val segs = ranked.select(col("sid"), col("lon").as("x1"), col("lat").as("y1"))
+      .join(ranked.select((col("sid") - 1).as("sid"), col("lon").as("x2"), col("lat").as("y2")), "sid")
+      .filter(col("y1") =!= col("y2"))
+    segs
+      .withColumn("iy0", expr(iy0E)).withColumn("iy1", expr(iy1E))
+      .filter(col("iy0") <= col("iy1"))
+      .withColumn("riy", explode(expr("sequence(iy0, iy1)")))
+      .withColumn("yc", expr(ycE))
+      .withColumn("xc", expr(xcrossE))
+      .select(expr(ixE).as("ix"), col("riy").as("iy"))
+      .groupBy("ix", "iy").agg(count(lit(1)).as("n_cross"))
+      .orderBy("ix", "iy")
+  }
+
+  def oracles: Map[String, String] =
+    builders.map { case (n, b) => n -> b(DuckD) } ++ Map(
+      "histogram_matching" -> {
+        // row-weighted CDFs (value histogram + cumulative / n) mirror
+        // cdfLut exactly; the mapping is min target value with cdf ≥.
+        s"${pagesWith(DuckD)}, ${densityG(DuckD, 6)}, " +
+          s"tg AS (SELECT ${Geo.ix(DuckD, "lon", 6)} AS ix, ${Geo.iy(DuckD, "lat", 6)} AS iy, " +
+          "count(*) AS v FROM pages WHERE lang = 'en' GROUP BY 1, 2), " +
+          "sh AS (SELECT v, count(*) AS c FROM g GROUP BY v), " +
+          "scdf AS (SELECT v, cast(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) / " +
+          "cast((SELECT count(*) FROM g) as double) AS cdf FROM sh), " +
+          "th AS (SELECT v, count(*) AS c FROM tg GROUP BY v), " +
+          "tcdf AS (SELECT v, cast(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) / " +
+          "cast((SELECT count(*) FROM tg) as double) AS cdf FROM th), " +
+          "mapping AS (SELECT s.v, coalesce(min(t.v), (SELECT max(v) FROM tcdf)) AS v_m " +
+          "FROM scdf s LEFT JOIN tcdf t ON t.cdf >= s.cdf GROUP BY s.v) " +
+          "SELECT ix, iy, v_m FROM g JOIN mapping USING (v) ORDER BY ix, iy"
+      },
+      "merge_table_with_csv" -> {
+        val vals = csvRows.map { case (i, n, sc) =>
+          s"($i, '$n', ${graft.core.Lit.d(sc)})"
+        }.mkString(", ")
+        s"WITH csv(rid, rname, score) AS (VALUES $vals) " +
+          "SELECT n_nationkey, n_name, rname, score FROM nation " +
+          "LEFT JOIN csv ON n_nationkey = rid ORDER BY n_nationkey"
+      }
+    )
+}

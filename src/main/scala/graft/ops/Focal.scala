@@ -318,12 +318,30 @@ object Focal {
     }),
 
     // BufferRaster (buffer_raster.rs): cells within max_dist of any page —
-    // the nn_gridding candidate set thresholded (distance transform via
-    // bucket-ring join rather than the reference's two-pass scan).
+    // a LEFT SEMI join on the FRS bucket block with the distance residual
+    // in the join condition (EXISTS semantics): no per-cell ranking, no
+    // candidate aggregation; the probe short-circuits on first match.
     "buffer_raster" -> ((s, dir) => {
-      Knn.queries("nn_gridding")(s, dir)
-        .filter(col("d2") <= lit(1.0))
-        .select("ix", "iy")
+      import graft.core.Lit.{d => L}
+      val res = 7; val n = 1 << res
+      val rx = 360.0 / n; val ry = 180.0 / n
+      val r = 1.0; val w = r / 2.0
+      val cells = s.range(n.toLong * n)
+        .select((col("id") % n).as("ix"), expr(s"id div $n").as("iy"))
+        .withColumn("cx", expr(s"-180.0e0 + ${L(rx)} / 2.0e0 + ix * ${L(rx)}"))
+        .withColumn("cy", expr(s"-90.0e0 + ${L(ry)} / 2.0e0 + iy * ${L(ry)}"))
+        .withColumn("dx", explode(sequence(lit(-2), lit(2))))
+        .withColumn("dy", explode(sequence(lit(-2), lit(2))))
+        .withColumn("bx", expr(s"cast(floor(cx / ${L(w)}) as bigint)") + col("dx"))
+        .withColumn("by", expr(s"cast(floor(cy / ${L(w)}) as bigint)") + col("dy"))
+      val pts = Tables.pages(s, dir).select(col("lon"), col("lat"),
+        expr(s"cast(floor(lon / ${L(w)}) as bigint)").as("pbx"),
+        expr(s"cast(floor(lat / ${L(w)}) as bigint)").as("pby"))
+      cells.join(pts,
+          col("bx") === col("pbx") && col("by") === col("pby") &&
+            expr("(lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)") <= lit(r * r),
+          "left_semi")
+        .select("ix", "iy").distinct()
         .orderBy("ix", "iy")
     })
   )

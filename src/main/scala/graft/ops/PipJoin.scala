@@ -87,4 +87,22 @@ object PipJoin {
         !PipAny.pipAny(col("lon"), col("lat"), col("oxs"), col("oys")))
       .select("doc_id", "fid")
   }
+
+  /** DEGRADED PATH, exercised by the gated `pip_zonal_count_shuffled`
+    * query: when the grouped ring side outgrows broadcast, the same
+    * membership runs as a SHUFFLED cell-equi join with explicit hot-cell
+    * salting (graft.ops.Skew.saltedJoin: pages take a deterministic salt,
+    * ring groups replicate to all salts) plus a shuffle-hash hint so the
+    * planner never silently re-broadcasts in this plan. Identical rows to
+    * zoneMembership — the oracle is the same SQL. */
+  def zoneMembershipShuffled(spark: SparkSession, pages: DataFrame,
+                             rings: Seq[Ring] = Zones.worldZones,
+                             res: Int = 6, nSalts: Int = 8): DataFrame = {
+    val p = withCell(pages, res)
+    val rc = ringCellsGrouped(spark, rings, res).hint("shuffle_hash")
+    Skew.saltedJoin(p, rc, Seq("cell"), nSalts)
+      .filter(PipAny.pipAny(col("lon"), col("lat"), col("hxs"), col("hys")) &&
+        !PipAny.pipAny(col("lon"), col("lat"), col("oxs"), col("oys")))
+      .select("doc_id", "fid")
+  }
 }
