@@ -31,4 +31,7 @@ val sparkRunOpts = jdk17AddOpens ++ Seq(
 // (runMain graft.Bench at local[32] over 64M rows) needs headroom — GC at
 // 32 threads in a small heap throttles scaling long before CPU does.
 Test / javaOptions ++= sparkRunOpts :+ s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
-run / javaOptions ++= sparkRunOpts :+ s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"
+run / javaOptions ++= sparkRunOpts ++ Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "G1")}GC",
+)

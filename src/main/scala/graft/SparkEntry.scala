@@ -33,7 +33,19 @@ object SparkEntry {
       Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++
       graft.ops.Terrain.queries ++ graft.ops.Stats.queries ++
       graft.ops.Distance.queries ++ graft.ops.Extras.queries ++
-      graft.ops.Extras2.queries ++ Map(
+      graft.ops.Extras2.queries ++ graft.ops.FocalMore.queries ++ Map(
+        // MinimumBoundingCircle (Welzl result via exhaustive hull
+        // candidates; oracle = HardOracles.circleSql structural twin).
+        "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
+          val p = Tables.pages(s, dir)
+          val pts = PipJoin.zoneMembership(s, p)
+            .join(p.select("doc_id", "lon", "lat"), "doc_id")
+            .select(col("fid"), col("lon").as("x"), col("lat").as("y"))
+          graft.ops.Hull.featureCircles(s, pts)
+            .selectExpr("fid", "round(ccx, 6) AS ccx", "round(ccy, 6) AS ccy",
+              "round(cr, 6) AS cr")
+            .orderBy("fid")
+        }),
         // Clump (CCL via label propagation) — no SQL-expressible oracle;
         // the driver records the weaker rows-only check, ClumpSpec pins
         // the partition against a scalar flood fill.
@@ -132,7 +144,8 @@ object SparkEntry {
       Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles ++
       graft.ops.Terrain.oracles ++ graft.ops.Stats.oracles ++
       graft.ops.Distance.oracles ++ graft.ops.Extras.oracles ++
-      graft.ops.Extras2.oracles ++ Map(
+      graft.ops.Extras2.oracles ++ graft.ops.FocalMore.oracles ++ Map(
+        "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,
         "clump" -> graft.ops.HardOracles.clumpSql)

@@ -42,14 +42,22 @@ object PageGen {
         col("html"), col("text"), col("lang"),
         expr("cast(length(text) as bigint)").as("n_chars"))
 
-  /** Materialise once under dir (idempotent). Returns the path. */
-  def ensure(spark: SparkSession, dir: String, n: Long): String = {
-    val path = s"$dir/pages_$n"
+  /** Materialise once under dir (idempotent). Returns the path.
+    *
+    * 256 files, not 64: each ~14 MB file is one parquet row group = one
+    * scan task, so local[32] runs 8 waves (stragglers amortize) instead
+    * of 2 (one slow task = up to +50% tail). The path encodes the layout
+    * so older corpora are never silently reused. */
+  def ensure(spark: SparkSession, dir: String, n: Long, parts: Int = 256): String = {
+    val path = s"$dir/pages_${n}_p$parts"
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.exists()) {
       generate(spark, n)
-        .repartition(64)
-        .write.mode("overwrite").parquet(path)
+        .repartition(parts)
+        // zstd like any production web corpus: ~2× smaller than snappy,
+        // and the scan stays compute-bound instead of saturating the
+        // single-box memory bus at local[32]
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
     }
     path
   }

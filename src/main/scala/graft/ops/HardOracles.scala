@@ -54,9 +54,9 @@ object HardOracles {
       "GROUP BY 1, 2, 3 ORDER BY d.id"
   }
 
-  /** Jarvis-march hull per zone + shoelace area + rotating-calipers MBB
-    * area (edge loop WITHOUT the closing edge, mirroring ops/Hull). */
-  def hullSql: String = {
+  /** Shared Jarvis-march hull CTE prefix (ends with hv = the ordered hull
+    * vertices per fid). */
+  private def hullPrefix: String = {
     val zp = Zones.fids.map { f =>
       s"SELECT $f AS fid, lon AS x, lat AS y FROM pages WHERE ${Zones.insideZoneSql(f, "lon", "lat")}"
     }.mkString("(", " UNION ALL ", ")")
@@ -80,7 +80,13 @@ object HardOracles {
       "AND (w.x - h.vx) * (w2.x - h.vx) + (w.y - h.vy) * (w2.y - h.vy) > " +
       "(w.x - h.vx) * (w.x - h.vx) + (w.y - h.vy) * (w.y - h.vy)) " +
       "AND NOT (w.x = h.sx AND w.y = h.sy)), " +
-      "hv AS (SELECT fid, step, vx, vy FROM hull), " +
+      "hv AS (SELECT fid, step, vx, vy FROM hull)"
+  }
+
+  /** Jarvis-march hull per zone + shoelace area + rotating-calipers MBB
+    * area (edge loop WITHOUT the closing edge, mirroring ops/Hull). */
+  def hullSql: String =
+    s"$hullPrefix, " +
       "hn AS (SELECT fid, count(*) AS hull_n FROM hv GROUP BY fid), " +
       "wrap AS (SELECT a.fid, a.vx, a.vy, b.vx AS nx, b.vy AS ny FROM hv a " +
       "JOIN hn ON a.fid = hn.fid JOIN hv b ON b.fid = a.fid AND b.step = (a.step + 1) % hull_n), " +
@@ -97,6 +103,40 @@ object HardOracles {
       "mbb AS (SELECT fid, min(ax * ay) AS mba FROM ext GROUP BY fid) " +
       "SELECT hn.fid, hull_n, round(ha, 6) AS hull_area, round(mba, 4) AS mbb_area " +
       "FROM hn JOIN area ON hn.fid = area.fid JOIN mbb ON hn.fid = mbb.fid ORDER BY hn.fid"
+
+  /** Minimum bounding circle twin (ops/Hull.minEnclosingCircle): candidate
+    * centres = hull vertices ∪ pair midpoints ∪ triple circumcentres;
+    * covering radius = max hull-point distance²; lexicographic-min
+    * (r², cx, cy) wins — identical candidate set and arithmetic to the
+    * Spark-side kernel, so parity is structural. */
+  def circleSql: String = {
+    val sq = "ax * ax + ay * ay"
+    val sqB = "bx * bx + by * by"
+    val sqC = "cx * cx + cy * cy"
+    s"$hullPrefix, " +
+      "tri AS (SELECT a.fid, a.vx AS ax, a.vy AS ay, b.vx AS bx, b.vy AS by, " +
+      "c.vx AS cx, c.vy AS cy, " +
+      "2.0e0 * (a.vx * (b.vy - c.vy) + b.vx * (c.vy - a.vy) + c.vx * (a.vy - b.vy)) AS d " +
+      "FROM hv a JOIN hv b ON b.fid = a.fid AND a.step < b.step " +
+      "JOIN hv c ON c.fid = a.fid AND b.step < c.step), " +
+      "cands AS (" +
+      "SELECT fid, vx AS ccx, vy AS ccy FROM hv " +
+      "UNION ALL SELECT a.fid, (a.vx + b.vx) / 2.0e0, (a.vy + b.vy) / 2.0e0 " +
+      "FROM hv a JOIN hv b ON b.fid = a.fid AND a.step < b.step " +
+      "UNION ALL SELECT fid, " +
+      s"(($sq) * (by - cy) + ($sqB) * (cy - ay) + ($sqC) * (ay - by)) / d, " +
+      s"(($sq) * (cx - bx) + ($sqB) * (ax - cx) + ($sqC) * (bx - ax)) / d " +
+      "FROM tri WHERE d <> 0.0e0), " +
+      "cover AS (SELECT c.fid, ccx, ccy, " +
+      "max((vx - ccx) * (vx - ccx) + (vy - ccy) * (vy - ccy)) AS r2 " +
+      "FROM cands c JOIN hv h ON h.fid = c.fid GROUP BY 1, 2, 3), " +
+      "m1 AS (SELECT fid, min(r2) AS r2 FROM cover GROUP BY fid), " +
+      "m2 AS (SELECT c.fid, c.r2, min(ccx) AS ccx FROM cover c " +
+      "JOIN m1 ON c.fid = m1.fid AND c.r2 = m1.r2 GROUP BY 1, 2), " +
+      "m3 AS (SELECT c.fid, c.r2, c.ccx, min(ccy) AS ccy FROM cover c " +
+      "JOIN m2 ON c.fid = m2.fid AND c.r2 = m2.r2 AND c.ccx = m2.ccx GROUP BY 1, 2, 3) " +
+      "SELECT fid, round(ccx, 6) AS ccx, round(ccy, 6) AS ccy, " +
+      "round(sqrt(r2), 6) AS cr FROM m3 ORDER BY fid"
   }
 
   /** Connected components via transitive closure (8-connexity, same-value

@@ -95,6 +95,75 @@ object Hull {
     }
   }
 
+  /** Minimum enclosing circle of a (small) point set — the Welzl result
+    * (smallest_enclosing_circle.rs) computed by exhaustive candidates over
+    * the CONVEX HULL vertices: the optimal centre is a pair midpoint or a
+    * triple circumcentre of hull points; for each candidate the covering
+    * radius is max point distance (computed, never compared with a
+    * tolerance), and the lexicographic-min (r², cx, cy) candidate wins —
+    * deterministic, and textually twinned by the DuckDB oracle
+    * (HardOracles.circleSql). Returns (cx, cy, r²). */
+  def minEnclosingCircle(h: Array[(Double, Double)]): (Double, Double, Double) = {
+    val n = h.length
+    if (n == 1) return (h(0)._1, h(0)._2, 0.0)
+    var bestR2 = Double.PositiveInfinity
+    var bestCx = 0.0; var bestCy = 0.0
+    def consider(cx: Double, cy: Double): Unit = {
+      var r2 = 0.0
+      var i = 0
+      while (i < n) {
+        val dx = h(i)._1 - cx; val dy = h(i)._2 - cy
+        val d = dx * dx + dy * dy
+        if (d > r2) r2 = d
+        i += 1
+      }
+      if (r2 < bestR2 || (r2 == bestR2 && (cx < bestCx || (cx == bestCx && cy < bestCy)))) {
+        bestR2 = r2; bestCx = cx; bestCy = cy
+      }
+    }
+    for (i <- 0 until n) consider(h(i)._1, h(i)._2)
+    for (i <- 0 until n; j <- i + 1 until n)
+      consider((h(i)._1 + h(j)._1) / 2.0, (h(i)._2 + h(j)._2) / 2.0)
+    for (i <- 0 until n; j <- i + 1 until n; k <- j + 1 until n) {
+      val (ax, ay) = h(i); val (bx, by) = h(j); val (cx, cy) = h(k)
+      val d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+      if (d != 0.0) {
+        val ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) +
+          (cx * cx + cy * cy) * (ay - by)) / d
+        val uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) +
+          (cx * cx + cy * cy) * (bx - ax)) / d
+        consider(ux, uy)
+      }
+    }
+    (bestCx, bestCy, bestR2)
+  }
+
+  /** Per-feature minimum bounding circle over the distributed hull
+    * (bounded merge side, like featureHulls). Output: (fid, ccx, ccy, cr). */
+  def featureCircles(spark: SparkSession, pts: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = pts.select(col("fid").cast("int"), col("x"), col("y"))
+      .as[(Int, Double, Double)]
+    val local = typed.mapPartitions { it =>
+      val Cap = 512
+      val bufs = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Double, Double)]]
+      it.foreach { case (fid, x, y) =>
+        val b = bufs.getOrElseUpdate(fid, scala.collection.mutable.ArrayBuffer.empty)
+        b += ((x, y))
+        if (b.length >= Cap) { val h = convexHull(b.toArray); b.clear(); b ++= h }
+      }
+      bufs.iterator.flatMap { case (fid, b) =>
+        convexHull(b.toArray).iterator.map(p => (fid, p._1, p._2))
+      }
+    }
+    local.groupByKey(_._1).mapGroups { (fid, it) =>
+      val hull = convexHull(it.map(r => (r._2, r._3)).toArray)
+      val (cx, cy, r2) = minEnclosingCircle(hull)
+      (fid, cx, cy, math.sqrt(r2))
+    }.toDF("fid", "ccx", "ccy", "cr")
+  }
+
   /** Distributed per-feature hull: local hull per partition, merged hull of
     * hulls per feature. Input: (fid, x, y). Output: (fid, hull_n, hull_area,
     * mbb_area). */

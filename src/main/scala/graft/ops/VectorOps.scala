@@ -104,6 +104,36 @@ object VectorOps {
         .orderBy("fid", "ring_id")
     }),
 
+    // PolygonsToLines (polygons_to_lines.rs): shape-type cast — each ring
+    // becomes a polyline carrying its vertices unchanged; closed flag from
+    // the first/last vertex identity.
+    "polygons_to_lines" -> ((s, dir) => {
+      ringsDF(s)
+        .selectExpr("fid", "ring_id", "'POLYLINE' AS shape_type",
+          "cast(size(xs) as bigint) AS n_points",
+          "CASE WHEN element_at(xs, 1) = element_at(xs, size(xs)) AND " +
+            "element_at(ys, 1) = element_at(ys, size(ys)) THEN 1 ELSE 0 END AS was_closed")
+        .orderBy("fid", "ring_id")
+    }),
+
+    // SinglePartToMultiPart: group parts back per feature.
+    "singlepart_to_multipart" -> ((s, dir) => {
+      ringsDF(s)
+        .groupBy("fid")
+        .agg(count(lit(1)).as("n_parts"),
+          expr("cast(sum(size(xs)) as bigint)").as("total_points"))
+        .orderBy("fid")
+    }),
+
+    // ExtendVectorLines (extend_vector_lines.rs): treat each ring as an
+    // open line (closing duplicate dropped) and push both end vertices
+    // outward by 0.5 along the end-segment directions.
+    "extend_vector_lines" -> ((s, dir) => {
+      ringsDF(s)
+        .selectExpr(Seq("fid", "ring_id") ++ extendSelect(graft.core.SparkD): _*)
+        .orderBy("fid", "ring_id")
+    }),
+
     // MultiPartToSinglePart: each ring becomes its own feature.
     "multipart_to_singlepart" -> ((s, dir) => {
       ringsDF(s)
@@ -168,6 +198,28 @@ object VectorOps {
         .orderBy("fid", "ring_id", "idx")
     })
   )
+
+  /** ExtendVectorLines end-point expressions: effective last vertex m
+    * (closing duplicate dropped), unit directions from the end segments,
+    * both ends pushed out by 0.5. Identical strings both dialects via the
+    * element accessors. */
+  private def extendSelect(d: graft.core.Dialect): Seq[String] = {
+    def ex(i: String) = d.elemE("xs", i)
+    def ey(i: String) = d.elemE("ys", i)
+    val n = d.alen("xs")
+    val m = s"(CASE WHEN ${ex("1")} = ${ex(n)} AND ${ey("1")} = ${ey(n)} THEN ($n) - 1 ELSE ($n) END)"
+    val d1x = s"(${ex("2")} - ${ex("1")})"
+    val d1y = s"(${ey("2")} - ${ey("1")})"
+    val l1 = s"sqrt($d1x * $d1x + $d1y * $d1y)"
+    val dnx = s"(${ex(m)} - ${ex(s"($m) - 1")})"
+    val dny = s"(${ey(m)} - ${ey(s"($m) - 1")})"
+    val ln = s"sqrt($dnx * $dnx + $dny * $dny)"
+    Seq(
+      s"CASE WHEN $l1 > 0.0e0 THEN ${ex("1")} - 0.5e0 * $d1x / $l1 END AS x0e",
+      s"CASE WHEN $l1 > 0.0e0 THEN ${ey("1")} - 0.5e0 * $d1y / $l1 END AS y0e",
+      s"CASE WHEN $ln > 0.0e0 THEN ${ex(m)} + 0.5e0 * $dnx / $ln END AS xne",
+      s"CASE WHEN $ln > 0.0e0 THEN ${ey(m)} + 0.5e0 * $dny / $ln END AS yne")
+  }
 
   /** wrap index k for window offset j around a closed part of n vertices:
     * k = j<1 ? n-(1-j) : (j>n ? 1+(j-n) : j) — shared shape, per-dialect
@@ -337,6 +389,16 @@ object VectorOps {
     "multipart_to_singlepart" ->
       (s"WITH rings AS $duckRingRows SELECT row_number() OVER (ORDER BY fid, ring_id) AS new_fid, " +
         "fid AS parent_fid, ring_id, len(xs) AS n_points FROM rings ORDER BY new_fid"),
+    "polygons_to_lines" ->
+      (s"WITH rings AS $duckRingRows SELECT fid, ring_id, 'POLYLINE' AS shape_type, " +
+        "len(xs) AS n_points, CASE WHEN xs[1] = xs[len(xs)] AND ys[1] = ys[len(ys)] " +
+        "THEN 1 ELSE 0 END AS was_closed FROM rings ORDER BY fid, ring_id"),
+    "singlepart_to_multipart" ->
+      (s"WITH rings AS $duckRingRows SELECT fid, count(*) AS n_parts, " +
+        "cast(sum(len(xs)) as bigint) AS total_points FROM rings GROUP BY fid ORDER BY fid"),
+    "extend_vector_lines" ->
+      (s"WITH rings AS $duckRingRows SELECT fid, ring_id, " +
+        s"${extendSelect(DuckD).mkString(", ")} FROM rings ORDER BY fid, ring_id"),
     "line_intersections" -> lineIntersectionsSql(DuckD),
     "smooth_vectors" ->
       (s"WITH rings AS $duckRingRows, " +
