@@ -10,14 +10,17 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    Seq("pip_zonal_count", "knn_radius", "dedup_minhash_lsh", "zonal_statistics")
+    Seq("pip_zonal_count", "pip_zonal_count_shuffled", "knn_radius",
+      "dedup_minhash_lsh", "zonal_statistics", "quantiles",
+      "cumulative_distribution", "line_intersections", "ann_cosine_topk")
       .foreach { q =>
         println(s"==== $q ====")
         println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
     println("==== flagship (corpus) ====")
-    val pages = spark.read.parquet("/root/repo/bench_data/pages_1000000")
+    val pages = spark.read.parquet(
+      graft.io.PageGen.ensure(spark, "/root/repo/bench_data", 1000000))
     import org.apache.spark.sql.functions._
     val p2 = pages.withColumn("__geo", graft.expr.Geocode.geocode(col("text")))
       .withColumn("lat", col("__geo").getItem(0))

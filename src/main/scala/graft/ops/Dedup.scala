@@ -97,10 +97,12 @@ object Dedup {
       val sig = signatures(s, dir)
       val bandDf = sig.selectExpr("doc_id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")}) AS (band, h1, h2)")
-      val keep = bandDf.groupBy("band", "h1", "h2")
-        .agg(count(lit(1)).as("bc")).filter(col("bc") <= bucketCap)
+      // the OVERSIZED bucket list is near-empty (only viral shingles), so
+      // the prune is a broadcast anti-join — no shuffle of the band rows
+      val hot = bandDf.groupBy("band", "h1", "h2")
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
         .select("band", "h1", "h2")
-      val pruned = bandDf.join(keep, Seq("band", "h1", "h2"))
+      val pruned = bandDf.join(broadcast(hot), Seq("band", "h1", "h2"), "left_anti")
       val l = pruned.toDF("band", "h1", "h2", "a")
       val r = pruned.toDF("band", "h1", "h2", "b")
       l.join(r, Seq("band", "h1", "h2"))

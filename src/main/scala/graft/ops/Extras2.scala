@@ -147,7 +147,19 @@ object Extras2 {
     "edge_cells" -> edgeSql,
     "elevation_slice" -> elevSliceSql,
     "convert_nodata_to_zero" -> nodataSql,
-    "lines_to_raster" -> linesToRasterSql
+    "lines_to_raster" -> linesToRasterSql,
+    // RasterToVectorLines (raster_to_vector_lines.rs): vectorize the
+    // rasterized line cells back into per-row run features (gaps-and-
+    // islands over PARTITIONED windows — one grid row per partition).
+    "raster_to_vector_lines" -> (d => {
+      val base = linesToRasterSql(d)
+      val pre = base.substring(0, base.lastIndexOf("SELECT ix, iy, count(*)"))
+      pre +
+        ", cells AS (SELECT DISTINCT ix, iy FROM cr), " +
+        "runs AS (SELECT ix, iy, ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS grp FROM cells) " +
+        "SELECT iy, min(ix) AS ix_start, max(ix) AS ix_end, count(*) AS n_cells " +
+        "FROM runs GROUP BY iy, grp ORDER BY iy, ix_start"
+    })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -165,6 +177,18 @@ object Extras2 {
         sparkErode(sparkDilate(sparkMask(s, dir))).orderBy("ix", "iy")),
       // distributed rank build (no global window) + row-crossing scanline
       "lines_to_raster" -> (linesToRasterSpark _),
+      // run vectorization over PARTITIONED (per grid row) windows
+      "raster_to_vector_lines" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = linesToRasterSpark(s, dir).select("ix", "iy").distinct()
+        cells.withColumn("grp",
+            col("ix") - row_number().over(Window.partitionBy("iy").orderBy("ix")))
+          .groupBy("iy", "grp")
+          .agg(min("ix").as("ix_start"), max("ix").as("ix_end"),
+            count(lit(1)).as("n_cells"))
+          .select("iy", "ix_start", "ix_end", "n_cells")
+          .orderBy("iy", "ix_start")
+      }),
       // HistogramMatching: CDF LUTs of source (full density) and target
       // (en-layer density), composed on the driver, broadcast back.
       "histogram_matching" -> ((s: SparkSession, dir: String) => {

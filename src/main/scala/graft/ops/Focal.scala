@@ -104,6 +104,35 @@ object Focal {
       "(1.0e0 - fx) * fy * cast(v01 as double) + " +
       "fx * fy * cast(v11 as double)"
 
+  /** Resample "cc" (resample.rs:308-372): the reference's 4×4-block
+    * INVERSE-DISTANCE weighting, w = 1/(dx²+dy²) over offsets {−1,0,1,2}²,
+    * normalized over PRESENT cells; the exact grid hit (fx=fy=0) copies
+    * the coincident cell. (The reference's `(dx+dy) != 0` test and reused
+    * neighbour buffer are implementation quirks we do not replicate — we
+    * use the evident intent, d² = 0, and stateless weights.) The 16-term
+    * combine is written in one FIXED offset order on both engines. */
+  private val ccOffsets: Seq[(Int, Int)] =
+    for (sy <- Seq(-1, 0, 1, 2); sx <- Seq(-1, 0, 1, 2)) yield (sx, sy)
+
+  private def ccW(sx: Int, sy: Int): String = {
+    val d2 = s"(($sx - fx) * ($sx - fx) + ($sy - fy) * ($sy - fy))"
+    // d² = 0 guard: keeps the division unreachable under ANSI when the
+    // exact-hit cell is absent and the weighted branch evaluates anyway
+    s"(CASE WHEN $d2 = 0.0e0 THEN 0.0e0 ELSE 1.0e0 / $d2 END)"
+  }
+
+  private def ccCombine: String = {
+    def vn(sx: Int, sy: Int) = s"v_${sx + 1}_${sy + 1}"
+    val num = ccOffsets.map { case (sx, sy) =>
+      s"(CASE WHEN ${vn(sx, sy)} IS NULL THEN 0.0e0 ELSE cast(${vn(sx, sy)} as double) * ${ccW(sx, sy)} END)"
+    }.mkString(" + ")
+    val den = ccOffsets.map { case (sx, sy) =>
+      s"(CASE WHEN ${vn(sx, sy)} IS NULL THEN 0.0e0 ELSE ${ccW(sx, sy)} END)"
+    }.mkString(" + ")
+    s"CASE WHEN fx = 0.0e0 AND fy = 0.0e0 AND v_1_1 IS NOT NULL THEN cast(v_1_1 as double) " +
+      s"WHEN ($den) > 0.0e0 THEN ($num) / ($den) END"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MeanFilter / TotalFilter / Min-Max / RangeFilter in one pass (exact:
@@ -234,6 +263,36 @@ object Focal {
           expr("max(CASE WHEN ox = 1 AND oy = 1 THEN v END)").as("v11"))
         .filter(col("np") === 4)
         .selectExpr("ix", "iy", s"$bilinearE AS v_b")
+        .orderBy("ix", "iy")
+    }),
+
+    // Resample "cc" (resample.rs cc branch): 16-cell gather join + the
+    // inverse-distance combine above; same fine/coarse grids as bilinear.
+    "resample_cc" -> ((s, dir) => {
+      import graft.core.Lit.{d => L}
+      val rx7 = 360.0 / 128; val ry7 = 180.0 / 128
+      val rx5 = 360.0 / 32; val ry5 = 180.0 / 32
+      val coarse = Raster.density(s, dir, 5)
+        .select(col("ix").as("pix"), col("iy").as("piy"), col("v"))
+      val fine = Raster.density(s, dir, 7).select("ix", "iy")
+        .withColumn("tx", expr(s"(${L(rx7)} / 2.0e0 + ix * ${L(rx7)}) / ${L(rx5)} - 0.5e0"))
+        .withColumn("ty", expr(s"(${L(ry7)} / 2.0e0 + iy * ${L(ry7)}) / ${L(ry5)} - 0.5e0"))
+        .withColumn("gx", expr("cast(floor(tx) as bigint)"))
+        .withColumn("gy", expr("cast(floor(ty) as bigint)"))
+        .withColumn("fx", expr("tx - floor(tx)"))
+        .withColumn("fy", expr("ty - floor(ty)"))
+      val j = fine
+        .withColumn("ox", explode(sequence(lit(-1), lit(2))))
+        .withColumn("oy", explode(sequence(lit(-1), lit(2))))
+        .withColumn("pix", col("gx") + col("ox"))
+        .withColumn("piy", col("gy") + col("oy"))
+        .join(coarse, Seq("pix", "piy"))
+      val aggs = ccOffsets.map { case (sx, sy) =>
+        expr(s"max(CASE WHEN ox = $sx AND oy = $sy THEN v END)").as(s"v_${sx + 1}_${sy + 1}")
+      }
+      j.groupBy("ix", "iy")
+        .agg(max("fx").as("fx"), aggs :+ max("fy").as("fy"): _*)
+        .selectExpr("ix", "iy", s"$ccCombine AS v_cc")
         .orderBy("ix", "iy")
     }),
 
@@ -412,6 +471,27 @@ object Focal {
         "max(CASE WHEN ox = 1 AND oy = 1 THEN v END) AS v11 FROM j GROUP BY ix, iy)"
       s"$pagesWith, $c5, $f7, $fine, $fine2, $offs, $j, $ag " +
         s"SELECT ix, iy, $bilinearE AS v_b FROM ag WHERE np = 4 ORDER BY ix, iy"
+    },
+    "resample_cc" -> {
+      import graft.core.Lit.{d => L}
+      val rx7 = L(360.0 / 128); val ry7 = L(180.0 / 128)
+      val rx5 = L(360.0 / 32); val ry5 = L(180.0 / 32)
+      val c5 = s"c AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS pix, ${Geo.iy(DuckD, "lat", 5)} AS piy, count(*) AS v FROM pages GROUP BY 1, 2)"
+      val f7 = s"f AS (SELECT ${Geo.ix(DuckD, "lon", 7)} AS ix, ${Geo.iy(DuckD, "lat", 7)} AS iy FROM pages GROUP BY 1, 2)"
+      val fine = s"fine AS (SELECT ix, iy, ($rx7 / 2.0e0 + ix * $rx7) / $rx5 - 0.5e0 AS tx, " +
+        s"($ry7 / 2.0e0 + iy * $ry7) / $ry5 - 0.5e0 AS ty FROM f)"
+      val fine2 = "fine2 AS (SELECT ix, iy, cast(floor(tx) as bigint) AS gx, " +
+        "cast(floor(ty) as bigint) AS gy, tx - floor(tx) AS fx, ty - floor(ty) AS fy FROM fine)"
+      val offs = "offs AS (SELECT a.o AS ox, b.o AS oy FROM " +
+        "(SELECT unnest([-1, 0, 1, 2]) AS o) a, (SELECT unnest([-1, 0, 1, 2]) AS o) b)"
+      val j = "j AS (SELECT ix, iy, fx, fy, ox, oy, v FROM fine2 CROSS JOIN offs " +
+        "JOIN c ON pix = gx + ox AND piy = gy + oy)"
+      val ccAggs = ccOffsets.map { case (sx, sy) =>
+        s"max(CASE WHEN ox = $sx AND oy = $sy THEN v END) AS v_${sx + 1}_${sy + 1}"
+      }.mkString(", ")
+      val ag = s"ag AS (SELECT ix, iy, max(fx) AS fx, max(fy) AS fy, $ccAggs FROM j GROUP BY ix, iy)"
+      s"$pagesWith, $c5, $f7, $fine, $fine2, $offs, $j, $ag " +
+        s"SELECT ix, iy, $ccCombine AS v_cc FROM ag ORDER BY ix, iy"
     },
     "mosaic" ->
       (s"$pagesWith, en AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS ix, ${Geo.iy(DuckD, "lat", 5)} AS iy, count(*) AS v_en FROM pages WHERE lang = 'en' GROUP BY 1, 2), " +
