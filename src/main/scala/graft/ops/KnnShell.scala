@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -26,9 +25,10 @@ import org.apache.spark.storage.StorageLevel
   * the *still-unsatisfied* queries (the frontier shrinks every round, so
   * late rounds touch a vanishing fraction of data). Candidates accumulate
   * per query in a persisted DataFrame; each round keeps only the k best per
-  * query (window top-k ≡ NMinimizer bound) so accumulator size stays
-  * ≤ k·|queries| regardless of density. No broadcast of the point side;
-  * skewed buckets are split by AQE.
+  * query via the bounded TopKByDist aggregator (≡ NMinimizer, O(k) state,
+  * map-side partials) so accumulator size stays ≤ k·|queries| regardless
+  * of density. No broadcast of the point side; skewed buckets are split
+  * by AQE.
   */
 object KnnShell {
 
@@ -67,15 +67,23 @@ object KnnShell {
            (col("y") - col("qy")) * (col("y") - col("qy"))).as("d2"))
     }
 
-    val topK = Window.partitionBy("qid").orderBy(col("d2"), col("id"))
+    // Per-round prune: the bounded TopKByDist aggregator (≡ NMinimizer,
+    // O(k) state, map-side partials) — not a per-qid sort window; the
+    // shuffle carries ≤ k rows per query each round.
+    def prune(df: DataFrame): DataFrame =
+      df.groupBy("qid")
+        .agg(max("qx").as("qx"), max("qy").as("qy"),
+          graft.agg.TopKByDist.topK(k)(col("d2"), col("id")).as("tk"))
+        .select(col("qid"), col("qx"), col("qy"), explode(col("tk")).as("e"))
+        .select(col("qid"), col("qx"), col("qy"),
+          col("e.id").as("id"), col("e.dist").as("d2"))
 
     val active = queries.select(col("qid"), col("qx"), col("qy"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Round 0: the 3×3 start block (shells 0..1). Eager localCheckpoint
     // truncates lineage every round — without it the logical plan doubles
     // per iteration (SURVEY §2.5: Dataset loop + checkpoint every k iters).
-    var acc = candidates(active, 0, 1)
-      .withColumn("rn", row_number().over(topK)).filter(col("rn") <= k).drop("rn")
+    var acc = prune(candidates(active, 0, 1))
       .localCheckpoint()
     var shell = 2
     var done = false
@@ -90,10 +98,10 @@ object KnnShell {
         // condition after each full shell (:180-204), so wider batches
         // would admit candidates the reference never scans
         val fresh = candidates(unsatisfied, shell, shell)
-        acc = acc.join(unsatisfied.select("qid"), Seq("qid"), "left_semi")
-          .select("qid", "qx", "qy", "id", "d2")
-          .unionByName(fresh)
-          .withColumn("rn", row_number().over(topK)).filter(col("rn") <= k).drop("rn")
+        acc = prune(
+            acc.join(unsatisfied.select("qid"), Seq("qid"), "left_semi")
+              .select("qid", "qx", "qy", "id", "d2")
+              .unionByName(fresh))
           .unionByName(acc.join(unsatisfied.select("qid"), Seq("qid"), "left_anti")
             .select("qid", "qx", "qy", "id", "d2"))
           .localCheckpoint()
@@ -101,7 +109,10 @@ object KnnShell {
       }
     }
     pts.unpersist(); active.unpersist()
-    acc.withColumn("rank", row_number().over(topK)).filter(col("rank") <= k)
-      .select("qid", "rank", "id", "d2")
+    acc.groupBy("qid")
+      .agg(graft.agg.TopKByDist.topK(k)(col("d2"), col("id")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), expr("cast(pos + 1 as int)").as("rank"),
+        col("col.id").as("id"), col("col.dist").as("d2"))
   }
 }
