@@ -27,6 +27,7 @@ object Ann {
 
   private val dim = 64
   private val k = 10
+  private val bucketCap = 1000 // max members per (band, bucket) — skew bound
 
   /** Spark: L2R double dot product of two float arrays. */
   private val sparkDot =
@@ -90,14 +91,22 @@ object Ann {
     // ids. Banding bounds per-bucket pair volume (n²/2^16 per band) while
     // recall comes from the 4 independent bands, the same
     // candidate-then-verify architecture as the minhash path; never an
-    // all-pairs product.
+    // all-pairs product. Buckets with more than `bucketCap` members (a
+    // dense embedding region — template pages, near-zero vectors) are
+    // DROPPED before the self-join in BOTH engines, identically to the
+    // minhash cap (Dedup.scala): the quadratic hot-bucket is bounded and
+    // the prune is a broadcast anti-join of the near-empty hot list.
     "embedding_neardup" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
       val banded = emb.select(col("vec_id"), posexplode(array(
         (0 until 4).map(b => expr(lshBucket(SparkD, "embedding", b))): _*)))
         .toDF("vec_id", "band", "bucket")
-      val cand = banded.toDF("a", "band", "bucket")
-        .join(banded.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+      val hot = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
+        .select("band", "bucket")
+      val pruned = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      val cand = pruned.toDF("band", "bucket", "a")
+        .join(pruned.toDF("band", "bucket", "b"), Seq("band", "bucket"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
       cand
@@ -130,8 +139,10 @@ object Ann {
           .mkString(" UNION ALL ")
         val cosLR = cosDuck.replace("ea", "ea.embedding").replace("eb", "eb.embedding")
         s"WITH banded AS ($bandRows), " +
-          "cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM banded l " +
-          "JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id) " +
+          s"keepb AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= $bucketCap), " +
+          "pruned AS (SELECT b.* FROM banded b JOIN keepb USING (band, bucket)), " +
+          "cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM pruned l " +
+          "JOIN pruned r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id) " +
           s"SELECT a, b, $cosLR AS cos FROM cand " +
           "JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b " +
           s"WHERE $cosLR >= 0.95e0 ORDER BY a, b"

@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   *     all-pairs product ever materialises.
   *   - n-gram Jaccard verify: exact Jaccard similarity computed ONLY on the
   *     LSH candidate pairs (classic candidate-then-verify architecture).
-  *   - SimHash: 32-bit token-hash sign aggregate; near-dup pairs found by
-  *     the 4×8-bit chunk pigeonhole join (hamming ≤ 3 ⇒ ≥1 chunk equal),
-  *     verified with bit_count(xor) ≤ 3. The oracle does the brute-force
-  *     all-pairs scan, proving the chunk blocking loses nothing.
+  *   - SimHash: 64-bit token-hash sign aggregate carried as two 32-bit
+  *     halves (lo/hi — avoids the signed-bit-63 parity trap); near-dup
+  *     pairs found by the 4×16-bit chunk pigeonhole join (hamming ≤ 3 over
+  *     64 bits ⇒ ≥1 of the 4 chunks equal), verified with
+  *     bit_count(xor(lo)) + bit_count(xor(hi)) ≤ 3. 16-bit chunks give
+  *     65,536 buckets per chunk index (vs 256 at 8 bits), so bucket size
+  *     is ~n/2^18 and the blocking join stays sub-quadratic at corpus
+  *     scale; chunk buckets over `bucketCap` members are dropped in the
+  *     Spark plan (the same skew bound as the minhash path — never
+  *     triggered at fixture scale, so the brute-force oracle still proves
+  *     the blocking lossless).
   *
   * All hashes are md5-hex-derived integers (core/Dialect.md5Bits) so the
   * DuckDB oracle is bit-exact.
@@ -50,23 +57,26 @@ object Dedup {
     s"sigs AS (SELECT doc_id, ${minhashAggs(DuckD).mkString(", ")} FROM " +
       s"(SELECT doc_id, unnest(${DuckD.shingles("text")}) AS sh FROM documents) t GROUP BY doc_id)"
 
-  // ---- SimHash ----
+  // ---- SimHash (64-bit: two independent 32-bit md5 words per token) ----
 
+  /** 64 sign sums: bits 0..31 from the token's first md5 word, 32..63 from
+    * the second (independent digest slices). */
   private def simhashSums(d: Dialect): Seq[String] =
-    (0 until 32).map { i =>
-      s"sum(CASE WHEN (${d.shr("th", i)} & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    (0 until 64).map { i =>
+      val src = if (i < 32) "th" else "th2"
+      s"sum(CASE WHEN (${d.shr(src, i % 32)} & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
     }
 
-  private val simhashPack: String =
-    (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+  private def simhashPack(off: Int): String =
+    (0 until 32).map(i => s"(CASE WHEN s${off + i} > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
   private def simhashTable(d: Dialect): String = d match {
     case DuckD =>
-      s"toks AS (SELECT doc_id, ${d.md5Bits("tok", 1)} AS th FROM " +
+      s"toks AS (SELECT doc_id, ${d.md5Bits("tok", 1)} AS th, ${d.md5Bits("tok", 9)} AS th2 FROM " +
         s"(SELECT doc_id, unnest(${d.tokens("text")}) AS tok FROM documents) t), " +
         s"sums AS (SELECT doc_id, ${simhashSums(d).mkString(", ")} FROM toks GROUP BY doc_id), " +
-        s"sh AS (SELECT doc_id, $simhashPack AS simhash FROM sums)"
+        s"sh AS (SELECT doc_id, ${simhashPack(0)} AS simhash_lo, ${simhashPack(32)} AS simhash_hi FROM sums)"
     case SparkD => "" // Spark side built with the DataFrame API below
   }
 
@@ -74,11 +84,18 @@ object Dedup {
     val toks = Tables.table(s, dir, "documents")
       .select(col("doc_id"), explode(expr(SparkD.tokens("text"))).as("tok"))
       .withColumn("th", expr(SparkD.md5Bits("tok", 1)))
+      .withColumn("th2", expr(SparkD.md5Bits("tok", 9)))
     val sums = toks.groupBy("doc_id").agg(
       expr(simhashSums(SparkD).head).as("s0"),
       simhashSums(SparkD).tail.map(expr): _*)
-    sums.select(col("doc_id"), expr(simhashPack).as("simhash"))
+    sums.select(col("doc_id"), expr(simhashPack(0)).as("simhash_lo"),
+      expr(simhashPack(32)).as("simhash_hi"))
   }
+
+  /** 4×16-bit chunks of the 64-bit simhash: ci 0/1 from lo, 2/3 from hi. */
+  private val chunkExpr =
+    "CASE WHEN ci < 2 THEN (simhash_lo >> (ci * 16)) & 65535 " +
+      "ELSE (simhash_hi >> ((ci - 2) * 16)) & 65535 END"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -138,19 +155,27 @@ object Dedup {
       simhashes(s, dir).orderBy("doc_id")
     }),
 
-    // SimHash near-dup pairs via chunk-blocking join; oracle brute-forces.
+    // SimHash near-dup pairs via the 16-bit chunk-blocking join (with the
+    // minhash-style hot-bucket cap before the self-join); oracle
+    // brute-forces, proving the blocking lossless at fixture scale.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val sh = simhashes(s, dir)
-      val chunks = sh.select(col("doc_id"), col("simhash"),
+      val chunks = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
         explode(expr("sequence(0, 3)")).as("ci"))
-        .withColumn("chunk", expr("(simhash >> (ci * 8)) & 255"))
-      val l = chunks.toDF("a", "sha", "ci", "chunk")
-      val r = chunks.toDF("b", "shb", "ci", "chunk")
+        .withColumn("chunk", expr(chunkExpr))
+      val hot = chunks.groupBy("ci", "chunk")
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
+        .select("ci", "chunk")
+      val pruned = chunks.join(broadcast(hot), Seq("ci", "chunk"), "left_anti")
+      val l = pruned.toDF("ci", "chunk", "a", "lo_a", "hi_a")
+      val r = pruned.toDF("ci", "chunk", "b", "lo_b", "hi_b")
+      val hamming = s"bit_count(${SparkD.bitXor("lo_a", "lo_b")}) + " +
+        s"bit_count(${SparkD.bitXor("hi_a", "hi_b")})"
       l.join(r, Seq("ci", "chunk"))
         .filter(col("a") < col("b"))
-        .select("a", "b", "sha", "shb").distinct()
-        .filter(expr(s"bit_count(${SparkD.bitXor("sha", "shb")}) <= 3"))
-        .withColumn("hamming", expr(s"bit_count(${SparkD.bitXor("sha", "shb")})"))
+        .select("a", "b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+        .filter(expr(s"($hamming) <= 3"))
+        .withColumn("hamming", expr(hamming))
         .select("a", "b", "hamming")
         .orderBy("a", "b")
     })
@@ -186,13 +211,16 @@ object Dedup {
         "FROM cand c JOIN sizes za ON za.doc_id = c.a JOIN sizes zb ON zb.doc_id = c.b " +
         "LEFT JOIN cm ON cm.a = c.a AND cm.b = c.b ORDER BY c.a, c.b"),
     "dedup_simhash" ->
-      (s"WITH ${simhashTable(DuckD)} SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
-    "dedup_simhash_pairs" ->
-      (s"WITH ${simhashTable(DuckD)} " +
+      (s"WITH ${simhashTable(DuckD)} SELECT doc_id, simhash_lo, simhash_hi FROM sh ORDER BY doc_id"),
+    "dedup_simhash_pairs" -> {
+      val hamming = s"bit_count(${DuckD.bitXor("a.simhash_lo", "b.simhash_lo")}) + " +
+        s"bit_count(${DuckD.bitXor("a.simhash_hi", "b.simhash_hi")})"
+      s"WITH ${simhashTable(DuckD)} " +
         "SELECT a.doc_id AS a, b.doc_id AS b, " +
-        s"bit_count(${DuckD.bitXor("a.simhash", "b.simhash")}) AS hamming " +
+        s"($hamming) AS hamming " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        s"WHERE bit_count(${DuckD.bitXor("a.simhash", "b.simhash")}) <= 3 " +
-        "ORDER BY a, b")
+        s"WHERE ($hamming) <= 3 " +
+        "ORDER BY a, b"
+    }
   )
 }

@@ -29,16 +29,35 @@ object Distance {
     * res ≤ ~19). min(key) = lexicographic min of (d², sid). */
   private val keyExpr = "(dx * dx + dy * dy) * 4294967296 + (sx * 1000000 + sy)"
 
+  /** @param maxK optional override of the ring bound; 0 (default) sizes it
+    *             from the grid extent — the Chebyshev distance from any
+    *             cell to any source is at most the grid span, so the loop
+    *             provably drains `remaining` (no silently dropped cells).
+    *             If no cell matches srcCond, every cell is emitted with
+    *             NULL distance/source (reference EuclideanDistance nodata
+    *             semantics for a source-free raster). */
   def euclidean(spark: SparkSession, grid: DataFrame, srcCond: String,
-                maxK: Int = 128): DataFrame = {
+                maxK: Int = 0): DataFrame = {
+    import spark.implicits._
+    val nullOut = grid.selectExpr("ix", "iy", "cast(null as bigint) AS d2",
+      "cast(null as bigint) AS src_ix", "cast(null as bigint) AS src_iy")
     val srcs = grid.filter(expr(srcCond))
       .selectExpr("ix AS sx", "iy AS sy")
+    if (srcs.isEmpty) return nullOut
+    val ringMax =
+      if (maxK > 0) maxK
+      else {
+        val Array((mnx, mxx, mny, mxy)) = grid
+          .agg(expr("min(ix)"), expr("max(ix)"), expr("min(iy)"), expr("max(iy)"))
+          .as[(Long, Long, Long, Long)].collect()
+        math.max(1L, math.max(mxx - mnx, mxy - mny)).toInt
+      }
     var remaining = grid.select("ix", "iy").localCheckpoint()
     var pending: DataFrame = null // (ix, iy, key) found but not yet provably final
     var finals: DataFrame = null
     var prevK = -1
     var k = 2
-    while (prevK < maxK && !remaining.isEmpty) {
+    while (prevK < ringMax && !remaining.isEmpty) {
       import spark.implicits._
       val offs = (for {
         dx <- -k to k; dy <- -k to k
@@ -61,8 +80,11 @@ object Distance {
       remaining = remaining.join(fin.select("ix", "iy"), Seq("ix", "iy"), "left_anti")
         .localCheckpoint()
       prevK = k
-      k = math.min(k * 2 + 2, maxK)
+      k = math.min(k * 2 + 2, ringMax)
     }
+    // After the final round k == ringMax every source has been scanned for
+    // every still-pending cell, so pending keys are true minima.
+    if (finals == null) return nullOut // empty grid
     val all = if (pending == null || pending.isEmpty) finals
               else finals.unionByName(pending)
     all.selectExpr("ix", "iy",

@@ -209,7 +209,10 @@ object Extras2 {
       // MergeTableWithCsv: write the deterministic CSV, read it back as a
       // REAL csv source, last-wins left join onto nation.
       "merge_table_with_csv" -> ((s: SparkSession, dir: String) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_csv"
+        // per-session path: two concurrent runs must not overwrite each
+        // other's fixture mid-read
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_csv_" +
+          s.sparkContext.applicationId
         import s.implicits._
         csvRows.toDF("rid", "rname", "score").coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(tmp)

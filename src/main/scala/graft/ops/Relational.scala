@@ -65,7 +65,10 @@ object Relational {
       val Array((mn, mx, n)) = p
         .agg(expr("cast(min(n_chars) as bigint)"), expr("cast(max(n_chars) as bigint)"), count(lit(1)))
         .as[(Long, Long, Long)].collect()
-      val binSize = math.ceil((mx - mn).toDouble) / 10000.0
+      // degenerate range (all values equal) → binSize would be 0 and the
+      // bin expression divides by zero under ANSI; clamp to ≥1 bin width
+      // (everything lands in bin 0, quantile 1) — twin does the same.
+      val binSize = math.max(math.ceil((mx - mn).toDouble), 1.0) / 10000.0
       val binExpr = "least(cast(floor(cast(n_chars - " + mn + " as double) / " +
         graft.core.Lit.d(binSize) + ") as bigint), 9999)"
       val hist = p.selectExpr(s"$binExpr AS bin")
@@ -167,7 +170,7 @@ object Relational {
     "quantiles" -> {
       // twin of the reference 10k-bin histogram CDF; same float op order.
       val binE = "least(cast(floor(cast(n_chars - mn as double) / " +
-        "(ceil(cast(mx - mn as double)) / 10000.0e0)) as bigint), 9999)"
+        "(greatest(ceil(cast(mx - mn as double)), 1.0e0) / 10000.0e0)) as bigint), 9999)"
       val qE = "floor(((100.0e0 * cum) / n) / 25.0e0)"
       s"$pagesWith, ext AS (SELECT cast(min(n_chars) as bigint) AS mn, " +
         "cast(max(n_chars) as bigint) AS mx, count(*) AS n FROM pages), " +

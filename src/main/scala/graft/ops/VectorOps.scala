@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Spark rings DF (fid, ring_id, is_hole_flag, xs, ys). */
-  private def ringsDF(s: SparkSession): DataFrame = {
+  private[ops] def ringsDF(s: SparkSession): DataFrame = {
     import s.implicits._
     Zones.worldZones.map(r => (r.fid, r.ringId, r.isHole, r.xs, r.ys))
       .toDF("fid", "ring_id", "is_hole_flag", "xs", "ys")
@@ -43,10 +43,10 @@ object VectorOps {
       "cast(0.0e0 as double), (acc, v) -> acc + v) / 2.0e0"
 
   // DuckDB twins over literal arrays (same reduction order).
-  private def duckArr(vs: Array[Double]): String =
+  private[ops] def duckArr(vs: Array[Double]): String =
     vs.map(Lit.d).mkString("[", ", ", "]")
 
-  private def duckRingRows: String =
+  private[ops] def duckRingRows: String =
     Zones.worldZones.map { r =>
       s"SELECT ${r.fid} AS fid, ${r.ringId} AS ring_id, ${r.isHole} AS is_hole_flag, " +
         s"${duckArr(r.xs)} AS xs, ${duckArr(r.ys)} AS ys"
@@ -245,13 +245,22 @@ object VectorOps {
     * range-bucket on the leading order key (so bucket boundaries respect
     * the total order), rank within bucket (partitioned window, bounded
     * groups), then add per-bucket offsets from a driver-side cumsum over
-    * the tiny bucket-count LUT — the distributed-rank pattern. */
+    * the BOUNDED bucket-count LUT — the distributed-rank pattern. The id
+    * variant buckets doc_id into a FIXED 4096-range partition derived from
+    * a 1-row extent aggregate, so the LUT stays ≤4096 rows at any corpus
+    * size (the lat variant is already bounded by the fixed lat range). */
   private def rankedPoints(s: SparkSession, dir: String, byLat: Boolean): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val pts = Tables.pages(s, dir).filter(expr(nycBox)).select("doc_id", "lon", "lat")
-    val withB = pts.withColumn("bk",
-      if (byLat) expr("cast(floor(lat * 50.0e0) as bigint)") else expr("doc_id div 64"))
+    val withB = if (byLat) pts.withColumn("bk", expr("cast(floor(lat * 50.0e0) as bigint)"))
+    else {
+      val ext = pts.agg(expr("coalesce(min(doc_id), 0)"),
+        expr("coalesce(max(doc_id), 0)")).as[(Long, Long)].collect()
+      val (mnId, mxId) = ext.headOption.getOrElse((0L, 0L))
+      val width = math.max((mxId - mnId + 1 + 4095) / 4096, 1L)
+      pts.withColumn("bk", expr(s"(doc_id - $mnId) div $width"))
+    }
     val counts = withB.groupBy("bk").count().as[(Long, Long)].collect().sortBy(_._1)
     var off = 0L
     val offsets = counts.map { case (k, c) => val o = off; off += c; (k, o) }
