@@ -33,7 +33,13 @@ object SparkEntry {
       Focal.queries ++ VectorOps.queries ++ RasterClip.queries ++
       graft.ops.Terrain.queries ++ graft.ops.Stats.queries ++
       graft.ops.Distance.queries ++ graft.ops.Extras.queries ++
-      graft.ops.Extras2.queries ++ graft.ops.FocalMore.queries ++ Map(
+      graft.ops.Extras2.queries ++ graft.ops.FocalMore.queries ++
+      graft.ops.Filters3.queries ++ graft.ops.Stretch.queries ++
+      graft.ops.ShapeMetrics.queries ++ graft.ops.Hydro.queries ++
+      graft.ops.Tin.queries ++ graft.ops.KnnShellGate.queries ++
+      graft.ops.Extras3.queries ++ graft.ops.Terrain2.queries ++
+      graft.ops.Extras4.queries ++ graft.ops.Grids.queries ++
+      graft.ops.Lidar.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -144,7 +150,13 @@ object SparkEntry {
       Focal.oracles ++ VectorOps.oracles ++ RasterClip.oracles ++
       graft.ops.Terrain.oracles ++ graft.ops.Stats.oracles ++
       graft.ops.Distance.oracles ++ graft.ops.Extras.oracles ++
-      graft.ops.Extras2.oracles ++ graft.ops.FocalMore.oracles ++ Map(
+      graft.ops.Extras2.oracles ++ graft.ops.FocalMore.oracles ++
+      graft.ops.Filters3.oracles ++ graft.ops.Stretch.oracles ++
+      graft.ops.ShapeMetrics.oracles ++ graft.ops.Hydro.oracles ++
+      graft.ops.Tin.oracles ++ graft.ops.KnnShellGate.oracles ++
+      graft.ops.Extras3.oracles ++ graft.ops.Terrain2.oracles ++
+      graft.ops.Extras4.oracles ++ graft.ops.Grids.oracles ++
+      graft.ops.Lidar.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,

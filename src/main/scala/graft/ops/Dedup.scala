@@ -105,26 +105,24 @@ object Dedup {
     }),
 
     // LSH candidate pairs: any of the 8 (h1,h2) bands collide. Buckets
-    // larger than `bucketCap` members are DROPPED before the self-join
-    // (both engines, so the oracle stays bit-exact): a viral shingle's
-    // bucket would otherwise contribute O(m²) pairs of near-zero signal —
-    // the standard web-dedup skew bound. AQE skew-split backstops the
-    // residual imbalance below the cap.
+    // larger than `bucketCap` members are DROPPED (both engines, so the
+    // oracle stays bit-exact): a viral shingle's bucket would otherwise
+    // contribute O(m²) pairs of near-zero signal — the standard web-dedup
+    // skew bound. Plan: ONE hash aggregate collects each band bucket's
+    // members (state bounded by the cap: oversized buckets are discarded,
+    // so no self-join, no separate hot-list pass, one shuffle of the band
+    // rows total); pairs explode in place from the ≤cap member lists.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sig = signatures(s, dir)
       val bandDf = sig.selectExpr("doc_id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")}) AS (band, h1, h2)")
-      // the OVERSIZED bucket list is near-empty (only viral shingles), so
-      // the prune is a broadcast anti-join — no shuffle of the band rows
-      val hot = bandDf.groupBy("band", "h1", "h2")
-        .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
-        .select("band", "h1", "h2")
-      val pruned = bandDf.join(broadcast(hot), Seq("band", "h1", "h2"), "left_anti")
-      val l = pruned.toDF("band", "h1", "h2", "a")
-      val r = pruned.toDF("band", "h1", "h2", "b")
-      l.join(r, Seq("band", "h1", "h2"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+      bandDf.groupBy("band", "h1", "h2")
+        .agg(graft.agg.CappedList.capped(bucketCap)(col("doc_id")).as("ms"))
+        .filter(size(col("ms")) <= bucketCap)
+        .select(explode(expr(
+          "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), " +
+            "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+        .select("p.a", "p.b").distinct()
         .orderBy("a", "b")
     }),
 

@@ -30,6 +30,63 @@ import org.apache.spark.storage.StorageLevel
   * of density. No broadcast of the point side; skewed buckets are split
   * by AQE.
   */
+/** Driver-gated query + DuckDB twin for the shell scan: the expansion is
+  * data-dependent, but its RESULT is declarative — the stop shell is
+  * S(q) = max(1, min{s ≥ 1 : #points with Chebyshev bucket-shell ≤ s ≥ k})
+  * (the reference scans the 3×3 start block, then whole shells until ≥ k
+  * candidates are seen, fixed_radius_search.rs:150-204), and the answer is
+  * the k smallest (d², id) among points with shell ≤ S. The twin
+  * transcribes exactly that in SQL; the Spark side runs the real iterative
+  * KnnShell.knn loop — the compare proves the loop equivalent. */
+object KnnShellGate {
+
+  private val k = 4
+  private val nycBox = "lon >= -74.05e0 AND lon <= -73.85e0 AND lat >= 40.65e0 AND lat <= 40.85e0"
+  private val qpts: Seq[(Int, Double, Double)] = Seq(
+    (1, -74.0, 40.7), (2, -73.95, 40.75), (3, -73.9, 40.8),
+    (4, -74.02, 40.66), (5, -73.87, 40.83))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_shell" -> ((s, dir) => {
+      import s.implicits._
+      val q = qpts.toDF("qid", "qx", "qy")
+      val pts = Tables.pages(s, dir).filter(expr(nycBox))
+        .selectExpr("doc_id AS id", "lon AS x", "lat AS y")
+      KnnShell.knn(s, q, pts, k = k, r = 0.02)
+        .orderBy("qid", "rank")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "knn_shell" -> {
+      val w = "(0.02e0 * 0.5e0)" // bucket width = r/2, same op as the Scala side
+      val qRows = qpts.map { case (i, x, y) =>
+        s"($i, ${graft.core.Lit.d(x)}, ${graft.core.Lit.d(y)})"
+      }.mkString(", ")
+      s"WITH pages AS (${graft.core.Geo.pagesCte(graft.core.DuckD)}), " +
+        s"q(qid, qx, qy) AS (VALUES $qRows), " +
+        s"pts AS (SELECT doc_id AS id, lon AS x, lat AS y FROM pages WHERE $nycBox), " +
+        s"dd AS (SELECT qid, id, " +
+        s"greatest(abs(cast(floor(x / $w) as bigint) - cast(floor(qx / $w) as bigint)), " +
+        s"abs(cast(floor(y / $w) as bigint) - cast(floor(qy / $w) as bigint))) AS s, " +
+        "(x - qx) * (x - qx) + (y - qy) * (y - qy) AS d2 FROM q, pts), " +
+        "cums AS (SELECT qid, s, count(*) AS c FROM dd GROUP BY 1, 2), " +
+        "cum AS (SELECT qid, s, sum(c) OVER (PARTITION BY qid ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n FROM cums), " +
+        // stop shell: first present shell where the running count reaches k
+        // (floored at 1 — the 3×3 start block is always scanned); if k is
+        // never reached, all shells (the fixture maxes out well under the
+        // Scala side's maxShell=64 world-edge bound)
+        s"stop AS (SELECT q.qid, coalesce((SELECT greatest(min(s), 1) FROM cum " +
+        s"WHERE cum.qid = q.qid AND n >= $k), " +
+        "(SELECT max(s) FROM cum WHERE cum.qid = q.qid)) AS smax FROM q), " +
+        "r AS (SELECT dd.qid, id, d2, row_number() OVER (PARTITION BY dd.qid ORDER BY d2, id) AS rank " +
+        "FROM dd JOIN stop ON dd.qid = stop.qid AND dd.s <= smax) " +
+        s"SELECT qid, cast(rank as int) AS rank, id, d2 FROM r WHERE rank <= $k ORDER BY qid, rank"
+    }
+  )
+}
+
 object KnnShell {
 
   /** @param queries (qid, qx, qy)

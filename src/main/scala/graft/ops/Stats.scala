@@ -92,6 +92,61 @@ object Stats {
       "FROM ag"
   }
 
+  /** Multi-band PCA (principal_component_analysis.rs:270-290 generalized
+    * to N = 3 bands: en/zh/es densities on their common cells): the 3×3
+    * sample covariance matrix from EXACT integer sums, eigenvalues by the
+    * closed-form trigonometric method for symmetric 3×3 matrices (Smith
+    * 1961 — the textbook replacement for the reference's iterative Jacobi
+    * at fixed N), PC1 loadings from the (A−λ₂I)(A−λ₃I) column product,
+    * explained-variance shares. One distributed hash aggregate; the
+    * eigen-solve is a 1-row expression. acos/cos are engine-evaluated →
+    * outputs rounded 6dp. */
+  private def pcaNSql(d: Dialect): String = {
+    val layers = s"l AS (SELECT lang, ${Geo.ix(d, "lon", 5)} AS ix, ${Geo.iy(d, "lat", 5)} AS iy, " +
+      "count(*) AS v FROM pages WHERE lang IN ('en', 'zh', 'es') GROUP BY 1, 2, 3)"
+    val wide = "w AS (SELECT ix, iy, " +
+      "max(CASE WHEN lang = 'en' THEN v END) AS x1, " +
+      "max(CASE WHEN lang = 'zh' THEN v END) AS x2, " +
+      "max(CASE WHEN lang = 'es' THEN v END) AS x3 FROM l GROUP BY 1, 2), " +
+      "c AS (SELECT x1, x2, x3 FROM w WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL)"
+    val sums = "ag AS (SELECT count(*) AS n, " +
+      Seq(1, 2, 3).map(i => s"cast(sum(x$i) as bigint) AS s$i").mkString(", ") + ", " +
+      (for (i <- 1 to 3; j <- i to 3)
+        yield s"cast(sum(x$i * x$j) as bigint) AS q$i$j").mkString(", ") +
+      " FROM c)"
+    def cov(i: Int, j: Int) =
+      s"((cast(q$i$j as double) - cast(s$i as double) * cast(s$j as double) / cast(n as double)) / (cast(n as double) - 1.0e0))"
+    val covs = "cv AS (SELECT n, " +
+      (for (i <- 1 to 3; j <- i to 3) yield s"${cov(i, j)} AS a$i$j").mkString(", ") +
+      " FROM ag)"
+    // Smith's closed form: q = tr/3, p = sqrt(p2/6), B = (A−qI)/p,
+    // φ = acos(clamp(det(B)/2)) / 3, λ₁ = q+2p·cosφ, λ₃ = q+2p·cos(φ+2π/3)
+    val eig1 = "e1 AS (SELECT *, (a11 + a22 + a33) / 3.0e0 AS qm, " +
+      "a12 * a12 + a13 * a13 + a23 * a23 AS p1 FROM cv), " +
+      "e2 AS (SELECT *, sqrt(((a11 - qm) * (a11 - qm) + (a22 - qm) * (a22 - qm) + " +
+      "(a33 - qm) * (a33 - qm) + 2.0e0 * p1) / 6.0e0) AS pm FROM e1), " +
+      "e3 AS (SELECT *, (a11 - qm) / pm AS b11, (a22 - qm) / pm AS b22, (a33 - qm) / pm AS b33, " +
+      "a12 / pm AS b12, a13 / pm AS b13, a23 / pm AS b23 FROM e2), " +
+      "e4 AS (SELECT *, (b11 * (b22 * b33 - b23 * b23) - b12 * (b12 * b33 - b23 * b13) + " +
+      "b13 * (b12 * b23 - b22 * b13)) / 2.0e0 AS rdet FROM e3), " +
+      s"e5 AS (SELECT *, acos(least(greatest(rdet, -1.0e0), 1.0e0)) / 3.0e0 AS phi FROM e4), " +
+      "e6 AS (SELECT *, qm + 2.0e0 * pm * cos(phi) AS l1, " +
+      s"qm + 2.0e0 * pm * cos(phi + ${graft.core.Lit.d(2.0 * math.Pi / 3.0)}) AS l3 FROM e5), " +
+      "e7 AS (SELECT *, 3.0e0 * qm - l1 - l3 AS l2 FROM e6)"
+    // PC1 loadings: column 1 of (A−λ₂I)(A−λ₃I), sign-normalized on v1
+    val load = "ld AS (SELECT *, " +
+      "(a11 - l2) * (a11 - l3) + a12 * a12 + a13 * a13 AS v1, " +
+      "a12 * (a11 - l3) + (a22 - l2) * a12 + a23 * a13 AS v2, " +
+      "a13 * (a11 - l3) + a23 * a12 + (a33 - l2) * a13 AS v3 FROM e7), " +
+      "ln0 AS (SELECT *, sqrt(v1 * v1 + v2 * v2 + v3 * v3) AS vn, " +
+      "CASE WHEN v1 < 0.0e0 THEN -1.0e0 ELSE 1.0e0 END AS sg FROM ld)"
+    s"${pagesWith(d)}, $layers, $wide, $sums, $covs, $eig1, $load " +
+      "SELECT n, round(l1, 6) AS lambda1, round(l2, 6) AS lambda2, round(l3, 6) AS lambda3, " +
+      "round(l1 / (l1 + l2 + l3), 6) AS explained1, " +
+      "round(sg * v1 / vn, 6) AS load1, round(sg * v2 / vn, 6) AS load2, " +
+      "round(sg * v3 / vn, 6) AS load3 FROM ln0"
+  }
+
   private def tokCount(d: Dialect): String = d match {
     case SparkD => "cast(size(split(text, '\\\\s+')) as bigint)"
     case DuckD  => s"cast(len(regexp_split_to_array(text, '\\s+')) as bigint)"
@@ -177,6 +232,7 @@ object Stats {
     "kappa_index" -> kappaSql,
     "anova" -> anovaSql,
     "pca_2var" -> pcaSql,
+    "pca_nvar" -> pcaNSql,
     "trend_surface" -> trendSql,
     "ks_uniformity" -> ksSql,
     "image_regression" -> regrSql,
