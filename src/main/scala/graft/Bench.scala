@@ -86,17 +86,24 @@ object Bench {
     // taskset pins the whole JVM (all threads) to N cores for the run, so
     // "cluster size N" means N cores total — the same resource envelope an
     // N-core node gives.
-    // Returns true iff the pin took effect; a failed pin (non-zero exit or
-    // missing taskset) is recorded in the output instead of silently
-    // invalidating the "N cores total" resource envelope.
+    // The pin status is VERIFIED by reading the process affinity back
+    // (taskset -a's own exit code races with JVM threads that die while it
+    // iterates /proc/<pid>/task, so a non-zero rc does not mean the pin
+    // failed); a genuinely failed pin is recorded in the output instead of
+    // silently invalidating the "N cores total" resource envelope.
     var pinned = true
     def setAffinity(cores: Int): Unit = {
       val pid = ProcessHandle.current().pid()
       try {
-        val rc = new ProcessBuilder("taskset", "-a", "-pc", s"0-${cores - 1}", pid.toString)
+        new ProcessBuilder("taskset", "-a", "-pc", s"0-${cores - 1}", pid.toString)
           .redirectErrorStream(true).start().waitFor()
-        if (rc != 0) pinned = false
-      } catch { case _: java.io.IOException => pinned = false }
+        val allowed = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(s"/proc/$pid/status"))
+          .stream().filter(_.startsWith("Cpus_allowed_list:")).findFirst()
+          .map[String](_.split(":\\s*")(1).trim).orElse("")
+        val expected = if (cores == 1) "0" else s"0-${cores - 1}"
+        if (allowed != expected) pinned = false
+      } catch { case _: Exception => pinned = false }
     }
     def timedRun(cores: Int): Double = {
       setAffinity(cores)

@@ -39,7 +39,8 @@ object SparkEntry {
       graft.ops.Tin.queries ++ graft.ops.KnnShellGate.queries ++
       graft.ops.Extras3.queries ++ graft.ops.Terrain2.queries ++
       graft.ops.Extras4.queries ++ graft.ops.Grids.queries ++
-      graft.ops.Lidar.queries ++ Map(
+      graft.ops.Lidar.queries ++ graft.ops.Hydro2.queries ++
+      graft.ops.Color.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -156,7 +157,8 @@ object SparkEntry {
       graft.ops.Tin.oracles ++ graft.ops.KnnShellGate.oracles ++
       graft.ops.Extras3.oracles ++ graft.ops.Terrain2.oracles ++
       graft.ops.Extras4.oracles ++ graft.ops.Grids.oracles ++
-      graft.ops.Lidar.oracles ++ Map(
+      graft.ops.Lidar.oracles ++ graft.ops.Hydro2.oracles ++
+      graft.ops.Color.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,

@@ -95,8 +95,11 @@ object Hydro {
   }
 
   /** full DuckDB prefix (pages → g → halo → dd) for reuse by other ops. */
-  private[ops] def duckDirsPrefix: String =
-    s"${pagesWith(DuckD)}, ${densityG(DuckD)}, $duckDirs"
+  private[ops] def duckDirsPrefix: String = s"WITH $duckDirsCtes"
+
+  /** the same CTE chain without the WITH keyword (for RECURSIVE reuse). */
+  private[ops] def duckDirsCtes: String =
+    s"pages AS (${Geo.pagesCte(DuckD)}), ${densityG(DuckD)}, $duckDirs"
 
   /** DuckDB dirs CTE chain ending in `dd(ix, iy, dir, tx, ty)`. */
   private def duckDirs: String = {

@@ -54,7 +54,9 @@ object Terrain2 {
       "n8" -> "cast(sum(CASE WHEN NOT (dx = 0 AND dy = 0) THEN 1 ELSE 0 END) as bigint)",
       "n_dn" -> "cast(sum(CASE WHEN NOT (dx = 0 AND dy = 0) AND nv < v THEN 1 ELSE 0 END) as bigint)",
       "n_up" -> "cast(sum(CASE WHEN NOT (dx = 0 AND dy = 0) AND nv > v THEN 1 ELSE 0 END) as bigint)",
-      "n_less" -> "cast(sum(CASE WHEN nv < v THEN 1 ELSE 0 END) as bigint)"
+      "n_less" -> "cast(sum(CASE WHEN nv < v THEN 1 ELSE 0 END) as bigint)",
+      "wmn" -> "min(nv)",
+      "wmx" -> "max(nv)"
     ) ++ offsets.zipWithIndex.map { case ((dx, dy), c) =>
       s"m$c" -> s"max(CASE WHEN dx = $dx AND dy = $dy THEN nv END)"
     }
@@ -91,6 +93,30 @@ object Terrain2 {
         s"round((zxx * zxx + 2.0e0 * zxy * zxy + zyy * zyy) * $deg100, 6) AS curv"))
   }
 
+  /** PennockLandformClass (pennock_landform_class.rs:299-360): hillslope
+    * zones from slope (Horn fx/fy), profile and plan curvature (negated,
+    * in degrees, NOT ×100 — the tool's own convention); thresholds
+    * slope 3°, prof 0.1, plan 0; unclassified/flat-gradient cells −128.
+    * Pure comparisons of identically-computed doubles — no rounding. */
+  private val pennockE = {
+    val deg = Lit.d(180.0 / math.Pi)
+    val p = "(zx * zx + zy * zy)"
+    val q = s"($p + 1.0e0)"
+    val fy = "((n6 - n4 + 2.0e0 * (n7 - n3) + n0 - n2) / 8.0e0)"
+    val fx = "((n2 - n4 + 2.0e0 * (n1 - n5) + n0 - n6) / 8.0e0)"
+    val slope = s"(atan(sqrt($fx * $fx + $fy * $fy)) * $deg)"
+    val plan = s"(-1.0e0 * ((zxx * zy * zy - 2.0e0 * zxy * zx * zy + zyy * zx * zx) / power($p, 1.5e0)) * $deg)"
+    val prof = s"(-1.0e0 * ((zxx * zx * zx - 2.0e0 * zxy * zx * zy + zyy * zy * zy) / ($p * power($q, 1.5e0))) * $deg)"
+    s"CASE WHEN $p > 0.0e0 THEN (" +
+      s"CASE WHEN $prof < -0.1e0 AND $plan <= 0.0e0 AND $slope > 3.0e0 THEN 1 " +
+      s"WHEN $prof < -0.1e0 AND $plan > 0.0e0 AND $slope > 3.0e0 THEN 2 " +
+      s"WHEN $prof > 0.1e0 AND $plan <= 0.0e0 AND $slope > 3.0e0 THEN 3 " +
+      s"WHEN $prof > 0.1e0 AND $plan > 0.0e0 AND $slope > 3.0e0 THEN 4 " +
+      s"WHEN $prof >= -0.1e0 AND $prof < 0.1e0 AND $slope > 3.0e0 AND $plan <= 0.0e0 THEN 5 " +
+      s"WHEN $prof >= -0.1e0 AND $prof < 0.1e0 AND $slope > 3.0e0 AND $plan > 0.0e0 THEN 6 " +
+      s"WHEN $slope <= 3.0e0 THEN 7 ELSE -128 END) ELSE -128 END"
+  }
+
   private val statDefs: Seq[(String, String)] = Seq(
     ("dev_from_mean_elev", {
       val vv = "(cast(q as double) - cast(s as double) * cast(s as double) / cast(n as double)) / cast(n as double)"
@@ -104,7 +130,12 @@ object Terrain2 {
     ("num_downslope_neighbours", "n_dn AS n_downslope"),
     ("num_upslope_neighbours", "n_up AS n_upslope"),
     ("elev_percentile",
-      "100.0e0 * cast(n_less as double) / cast(n as double) AS pctl"))
+      "100.0e0 * cast(n_less as double) / cast(n as double) AS pctl"),
+    // PercentElevRange (percent_elev_range.rs:316-325): windowed
+    // (z − min)/(max − min)·100, 0 on a flat window
+    ("percent_elev_range",
+      "CASE WHEN wmx - wmn > 0 THEN cast(z - wmn as double) / cast(wmx - wmn as double) * 100.0e0 " +
+        "ELSE 0.0e0 END AS pct_range"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     def ag(s: SparkSession, dir: String): DataFrame = {
@@ -124,7 +155,24 @@ object Terrain2 {
       name -> ((s: SparkSession, dir: String) =>
         ag(s, dir).selectExpr("ix", "iy", sel).orderBy("ix", "iy"))
     }.toMap
-    curv ++ stats
+    curv ++ stats ++ Map(
+      // ElevRelativeToMinMax (elev_relative_to_min_max.rs:199-203):
+      // global (z − min)/range·100 — reference op order
+      "elev_relative_to_min_max" -> ((s: SparkSession, dir: String) => {
+        val g = Raster.density(s, dir, 6)
+        val ext = g.agg(min("v").as("mn"), max("v").as("mx"))
+        g.crossJoin(broadcast(ext))
+          .selectExpr("ix", "iy",
+            "cast(v - mn as double) / cast(mx - mn as double) * 100.0e0 AS rel_elev")
+          .orderBy("ix", "iy")
+      }),
+      "pennock_landform_class" -> ((s: SparkSession, dir: String) =>
+        ag(s, dir)
+          .selectExpr(Seq("ix", "iy") ++ partials: _*)
+          .selectExpr(Seq("ix", "iy") ++ curvPre ++ (0 until 8).map(c => s"n$c"): _*)
+          .selectExpr("ix", "iy", s"$pennockE AS landform")
+          .orderBy("ix", "iy"))
+    )
   }
 
   def oracles: Map[String, String] = {
@@ -133,10 +181,19 @@ object Terrain2 {
       s"ag AS (SELECT ix, iy, $aggSql FROM h GROUP BY ix, iy)"
     val curvBase = s"$base, nbt AS (SELECT ix, iy, ${partials.mkString(", ")} FROM ag), " +
       s"cp AS (SELECT ix, iy, ${curvPre.mkString(", ")} FROM nbt)"
+    val pennockBase = s"$base, nbt AS (SELECT ix, iy, ${partials.mkString(", ")} FROM ag), " +
+      s"cp AS (SELECT ix, iy, ${(curvPre ++ (0 until 8).map(c => s"n$c")).mkString(", ")} FROM nbt)"
     curvDefs.map { case (name, sel) =>
       name -> s"$curvBase SELECT ix, iy, $sel FROM cp ORDER BY ix, iy"
     }.toMap ++ statDefs.map { case (name, sel) =>
       name -> s"$base SELECT ix, iy, $sel FROM ag ORDER BY ix, iy"
-    }.toMap
+    }.toMap ++ Map(
+      "pennock_landform_class" ->
+        s"$pennockBase SELECT ix, iy, $pennockE AS landform FROM cp ORDER BY ix, iy",
+      "elev_relative_to_min_max" ->
+        (s"${pagesWith(DuckD)}, ${densityG(DuckD, 6)}, " +
+          "ext AS (SELECT min(v) AS mn, max(v) AS mx FROM g) " +
+          "SELECT ix, iy, cast(v - mn as double) / cast(mx - mn as double) * 100.0e0 AS rel_elev " +
+          "FROM g, ext ORDER BY ix, iy"))
   }
 }
