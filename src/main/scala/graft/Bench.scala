@@ -111,6 +111,10 @@ object Bench {
       // warmup: JIT + codegen on a small corpus, not timed (unique path so
       // the committed-snapshot resume logic never skips it)
       flagship(s, warmCorpus, s"$benchDir/out_warm_${cores}_${System.nanoTime()}")
+      // drain garbage from prior sessions/warmup OUTSIDE the timed region —
+      // a mixed-GC storm landing inside one pass collapses it by 30-60%
+      // and poisons the median
+      System.gc()
       val t0 = System.nanoTime()
       flagship(s, corpus, s"$benchDir/out_${cores}_${System.nanoTime()}")
       val pps = corpusN / ((System.nanoTime() - t0) / 1e9)

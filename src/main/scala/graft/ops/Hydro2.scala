@@ -175,7 +175,42 @@ object Hydro2 {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries + strahlerQueriesEntry
+    baseQueries + strahlerQueriesEntry + shreveQueriesEntry
+
+  /** ShreveMagnitude (stream_network_analysis/shreve_magnitude.rs): heads
+    * (stream cells with no stream inflow) carry 1; at a junction the
+    * inflowing magnitudes ADD — equivalently, the magnitude of a stream
+    * cell is the number of heads whose stream path passes through it,
+    * which is exactly what the oracle counts from the path enumeration.
+    * Spark side: the same Jacobi fixpoint frame as Strahler with a sum
+    * update. */
+  private def shreveQueriesEntry: (String, (SparkSession, String) => DataFrame) =
+    "shreve_magnitude" -> ((s, dir) => {
+      val fa = Hydro.queries("d8_flow_accum")(s, dir)
+        .filter(col("fa") > streamT).select("ix", "iy").localCheckpoint()
+      val dd = Hydro.d8dirsKeep(s, dir)
+      val sedges = dd.filter(col("dir") >= 0)
+        .join(fa, Seq("ix", "iy"), "left_semi")
+        .join(fa.selectExpr("ix AS tx", "iy AS ty"), Seq("tx", "ty"), "left_semi")
+        .select("ix", "iy", "tx", "ty").localCheckpoint()
+      var m = fa.selectExpr("ix", "iy", "cast(1 as bigint) AS mag").localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < strahlerRounds) {
+        val inflow = sedges.join(m, Seq("ix", "iy"))
+          .groupBy(col("tx").as("ix"), col("ty").as("iy"))
+          .agg(expr("cast(sum(mag) as bigint)").as("msum"))
+        val next = fa.join(inflow, Seq("ix", "iy"), "left")
+          .selectExpr("ix", "iy", "coalesce(msum, 1) AS mag")
+          .localCheckpoint()
+        changed = next.selectExpr("ix", "iy", "mag AS m2")
+          .join(m, Seq("ix", "iy"))
+          .filter(expr("m2 <> mag")).count()
+        m = next
+        rounds += 1
+      }
+      m.orderBy("ix", "iy")
+    })
 
   private val strahlerRounds = 48
 
@@ -273,8 +308,29 @@ object Hydro2 {
         s"row_number() OVER (PARTITION BY cx, cy ORDER BY ${lenOf("nc", "nd")} DESC) AS rn " +
         "FROM paths) " +
         s"SELECT ix, iy, ${lenOf("nc", "nd")} AS upslope_len FROM m WHERE rn = 1 ORDER BY ix, iy"),
-    "strahler_stream_order" -> strahlerDuck
+    "strahler_stream_order" -> strahlerDuck,
+    "shreve_magnitude" -> shreveDuck
   )
+
+  /** magnitude(c) = number of stream heads whose stream path visits c —
+    * the telescoped form of the junction-sum definition. */
+  private def shreveDuck: String =
+    s"WITH RECURSIVE ${Hydro.duckDirsCtes}, " +
+      "e0 AS (SELECT ix, iy, tx, ty FROM dd WHERE dir >= 0), " +
+      "paths0 AS (SELECT ix AS sx, iy AS sy, ix AS cx, iy AS cy FROM dd " +
+      "UNION ALL SELECT p.sx, p.sy, e0.tx, e0.ty FROM paths0 p " +
+      "JOIN e0 ON e0.ix = p.cx AND e0.iy = p.cy), " +
+      "fa0 AS (SELECT cx AS ix, cy AS iy, count(*) AS fa FROM paths0 GROUP BY 1, 2), " +
+      s"st AS MATERIALIZED (SELECT ix, iy FROM fa0 WHERE fa > $streamT), " +
+      "se AS MATERIALIZED (SELECT e0.ix, e0.iy, e0.tx, e0.ty FROM e0 " +
+      "JOIN st a ON a.ix = e0.ix AND a.iy = e0.iy " +
+      "JOIN st b ON b.ix = e0.tx AND b.iy = e0.ty), " +
+      "heads AS (SELECT ix, iy FROM st WHERE NOT EXISTS " +
+      "(SELECT 1 FROM se WHERE se.tx = st.ix AND se.ty = st.iy)), " +
+      "walk AS (SELECT ix AS hx, iy AS hy, ix AS cx, iy AS cy FROM heads " +
+      "UNION ALL SELECT w.hx, w.hy, se.tx, se.ty FROM walk w " +
+      "JOIN se ON se.ix = w.cx AND se.iy = w.cy) " +
+      "SELECT cx AS ix, cy AS iy, count(*) AS mag FROM walk GROUP BY 1, 2 ORDER BY ix, iy"
 
   /** unrolled Jacobi rounds of the Strahler update (the fixpoint is stable
     * under extra rounds, so running the FULL strahlerRounds here equals
