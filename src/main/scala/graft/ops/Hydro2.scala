@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   *     flowpath length terminating at each cell — the same integer-count
   *     fixpoint run against the flow direction, maximizing by the derived
   *     double length (unique per count pair: √2 is irrational).
+  *   - Basins (basins.rs): terminal-cell labels via pointer jumping
+  *     (O(log path) rounds).
+  *   - StrahlerStreamOrder (strahler_order.rs): monotone Jacobi fixpoint;
+  *     the oracle unrolls the identical update a fixed 48 rounds (stable
+  *     under extra rounds, so parity holds with or without early exit).
+  *   - ShreveMagnitude (shreve_magnitude.rs): junction-sum fixpoint; the
+  *     oracle counts stream-head paths through each cell (the telescoped
+  *     equivalent).
+  *   - StreamLinkIdentifier (stream_link_id.rs): chain segments between
+  *     junctions labelled by their tail cell via pointer jumping on the
+  *     junction-restricted functional forest.
   *
   * Every iteration is one equi-join + hash aggregate with localCheckpoint
   * lineage truncation (the Clump/Distance pattern); rounds = longest flow
@@ -175,7 +186,52 @@ object Hydro2 {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries + strahlerQueriesEntry + shreveQueriesEntry
+    baseQueries + strahlerQueriesEntry + shreveQueriesEntry + streamLinkEntry
+
+  /** StreamLinkIdentifier (stream_network_analysis/stream_link_id.rs
+    * semantics): stream links are the chain segments between junctions —
+    * a stream edge u→v stays within a link iff v has exactly ONE stream
+    * inflow (a junction starts the next link downstream). The restricted
+    * graph is a functional forest, so pointer jumping labels every cell
+    * with its chain tail in O(log length) rounds; the tail cell id is the
+    * link id (canonical labelling, the Clump discipline — the reference
+    * numbers links in scan order, an output-identity choice). */
+  private def streamLinkEntry: (String, (SparkSession, String) => DataFrame) =
+    "stream_link_id" -> ((s, dir) => {
+      val fa = Hydro.queries("d8_flow_accum")(s, dir)
+        .filter(col("fa") > streamT).select("ix", "iy").localCheckpoint()
+      val dd = Hydro.d8dirsKeep(s, dir)
+      val sedges = dd.filter(col("dir") >= 0)
+        .join(fa, Seq("ix", "iy"), "left_semi")
+        .join(fa.selectExpr("ix AS tx", "iy AS ty"), Seq("tx", "ty"), "left_semi")
+        .select("ix", "iy", "tx", "ty").localCheckpoint()
+      val inDeg = sedges.groupBy(col("tx").as("ix"), col("ty").as("iy"))
+        .agg(count(lit(1)).as("n_in"))
+      // same-link parent: downstream target when it is NOT a junction
+      val par = fa
+        .join(sedges, Seq("ix", "iy"), "left")
+        .join(inDeg.selectExpr("ix AS tx", "iy AS ty", "n_in"), Seq("tx", "ty"), "left")
+        .selectExpr("ix", "iy",
+          "CASE WHEN tx IS NOT NULL AND n_in = 1 THEN tx ELSE ix END AS rx",
+          "CASE WHEN tx IS NOT NULL AND n_in = 1 THEN ty ELSE iy END AS ry")
+      var p = par.localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        val next = p.join(
+            p.selectExpr("ix AS rx", "iy AS ry", "rx AS rx2", "ry AS ry2"),
+            Seq("rx", "ry"))
+          .selectExpr("ix", "iy", "rx2 AS rx", "ry2 AS ry")
+          .localCheckpoint()
+        changed = next.selectExpr("ix", "iy", "rx AS nrx", "ry AS nry")
+          .join(p, Seq("ix", "iy"))
+          .filter(expr("nrx <> rx OR nry <> ry")).count()
+        p = next
+        rounds += 1
+      }
+      p.selectExpr("ix", "iy", "rx * 1000000 + ry AS link_id")
+        .orderBy("ix", "iy")
+    })
 
   /** ShreveMagnitude (stream_network_analysis/shreve_magnitude.rs): heads
     * (stream cells with no stream inflow) carry 1; at a junction the
@@ -309,8 +365,34 @@ object Hydro2 {
         "FROM paths) " +
         s"SELECT ix, iy, ${lenOf("nc", "nd")} AS upslope_len FROM m WHERE rn = 1 ORDER BY ix, iy"),
     "strahler_stream_order" -> strahlerDuck,
-    "shreve_magnitude" -> shreveDuck
+    "shreve_magnitude" -> shreveDuck,
+    "stream_link_id" -> streamLinkDuck
   )
+
+  /** walk the same-link parent chain (functional) to its terminal. */
+  private def streamLinkDuck: String =
+    s"WITH RECURSIVE ${Hydro.duckDirsCtes}, " +
+      "e0 AS (SELECT ix, iy, tx, ty FROM dd WHERE dir >= 0), " +
+      "paths0 AS (SELECT ix AS sx, iy AS sy, ix AS cx, iy AS cy FROM dd " +
+      "UNION ALL SELECT p.sx, p.sy, e0.tx, e0.ty FROM paths0 p " +
+      "JOIN e0 ON e0.ix = p.cx AND e0.iy = p.cy), " +
+      "fa0 AS (SELECT cx AS ix, cy AS iy, count(*) AS fa FROM paths0 GROUP BY 1, 2), " +
+      s"st AS MATERIALIZED (SELECT ix, iy FROM fa0 WHERE fa > $streamT), " +
+      "se AS MATERIALIZED (SELECT e0.ix, e0.iy, e0.tx, e0.ty FROM e0 " +
+      "JOIN st a ON a.ix = e0.ix AND a.iy = e0.iy " +
+      "JOIN st b ON b.ix = e0.tx AND b.iy = e0.ty), " +
+      "indeg AS (SELECT tx AS ix, ty AS iy, count(*) AS n_in FROM se GROUP BY 1, 2), " +
+      "lp AS MATERIALIZED (SELECT st.ix, st.iy, " +
+      "CASE WHEN se.tx IS NOT NULL AND ind.n_in = 1 THEN se.tx ELSE st.ix END AS rx, " +
+      "CASE WHEN se.tx IS NOT NULL AND ind.n_in = 1 THEN se.ty ELSE st.iy END AS ry " +
+      "FROM st LEFT JOIN se ON se.ix = st.ix AND se.iy = st.iy " +
+      "LEFT JOIN indeg ind ON ind.ix = se.tx AND ind.iy = se.ty), " +
+      "walk AS (SELECT ix AS sx, iy AS sy, ix AS cx, iy AS cy FROM lp " +
+      "UNION ALL SELECT w.sx, w.sy, l.rx, l.ry FROM walk w " +
+      "JOIN lp l ON l.ix = w.cx AND l.iy = w.cy AND NOT (l.rx = w.cx AND l.ry = w.cy)) " +
+      "SELECT w.sx AS ix, w.sy AS iy, w.cx * 1000000 + w.cy AS link_id " +
+      "FROM walk w JOIN lp t ON t.ix = w.cx AND t.iy = w.cy AND t.rx = w.cx AND t.ry = w.cy " +
+      "ORDER BY ix, iy"
 
   /** magnitude(c) = number of stream heads whose stream path visits c —
     * the telescoped form of the junction-sum definition. */
