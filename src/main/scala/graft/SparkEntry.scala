@@ -40,7 +40,9 @@ object SparkEntry {
       graft.ops.Extras3.queries ++ graft.ops.Terrain2.queries ++
       graft.ops.Extras4.queries ++ graft.ops.Grids.queries ++
       graft.ops.Lidar.queries ++ graft.ops.Hydro2.queries ++
-      graft.ops.Color.queries ++ Map(
+      graft.ops.Color.queries ++ graft.ops.Streams2.queries ++
+      graft.ops.HydroFill.queries ++ graft.ops.Cost.queries ++
+      graft.ops.TerrainIdx.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -158,7 +160,9 @@ object SparkEntry {
       graft.ops.Extras3.oracles ++ graft.ops.Terrain2.oracles ++
       graft.ops.Extras4.oracles ++ graft.ops.Grids.oracles ++
       graft.ops.Lidar.oracles ++ graft.ops.Hydro2.oracles ++
-      graft.ops.Color.oracles ++ Map(
+      graft.ops.Color.oracles ++ graft.ops.Streams2.oracles ++
+      graft.ops.HydroFill.oracles ++ graft.ops.Cost.oracles ++
+      graft.ops.TerrainIdx.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,

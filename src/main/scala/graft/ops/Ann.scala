@@ -97,7 +97,12 @@ object Ann {
     // minhash cap (Dedup.scala): the quadratic hot-bucket is bounded and
     // the prune is a broadcast anti-join of the near-empty hot list.
     "embedding_neardup" -> ((s, dir) => {
-      val emb = Tables.table(s, dir, "embeddings")
+      // The raw fixture has NO true near-dup pair (the r3 gate passed with
+      // 0×0 rows — vacuous). Plant five: for vec_id < 5 append a derived
+      // twin (id + 1e6) with element 1 scaled by 1.001 — signs (hence all
+      // band buckets) preserved, cosine ≈ 0.9999996 ≥ 0.95, identical
+      // derivation in the oracle — so the verify arm provably fires.
+      val emb = augmented(s, dir)
       val banded = emb.select(col("vec_id"), posexplode(array(
         (0 until 4).map(b => expr(lshBucket(SparkD, "embedding", b))): _*)))
         .toDF("vec_id", "band", "bucket")
@@ -120,6 +125,21 @@ object Ann {
     })
   )
 
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings").select("vec_id", "embedding")
+    val aug = emb.filter(col("vec_id") < 5)
+      .selectExpr("vec_id + 1000000 AS vec_id",
+        "concat(array(cast(cast(element_at(embedding, 1) as double) * 1.001e0 as float)), " +
+          "slice(embedding, 2, 63)) AS embedding")
+    emb.unionByName(aug)
+  }
+
+  private val duckAugmented =
+    "emb2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+      "SELECT vec_id + 1000000, " +
+      "list_concat([cast(cast(embedding[1] as double) * 1.001e0 as float)], embedding[2:]) " +
+      "FROM embeddings WHERE vec_id < 5)"
+
   def oracles: Map[String, String] = {
     val cosDuck =
       s"round(($duckDot) / (${norm(duckDot.replace("eb", "ea"))} * ${norm(duckDot.replace("ea", "eb"))}), 6)"
@@ -135,16 +155,16 @@ object Ann {
           "FROM embeddings ORDER BY vec_id"),
       "embedding_neardup" -> {
         val bandRows = (0 until 4).map(b =>
-          s"SELECT vec_id, $b AS band, ${lshBucket(DuckD, "embedding", b)} AS bucket FROM embeddings")
+          s"SELECT vec_id, $b AS band, ${lshBucket(DuckD, "embedding", b)} AS bucket FROM emb2")
           .mkString(" UNION ALL ")
         val cosLR = cosDuck.replace("ea", "ea.embedding").replace("eb", "eb.embedding")
-        s"WITH banded AS ($bandRows), " +
+        s"WITH $duckAugmented, banded AS ($bandRows), " +
           s"keepb AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= $bucketCap), " +
           "pruned AS (SELECT b.* FROM banded b JOIN keepb USING (band, bucket)), " +
           "cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM pruned l " +
           "JOIN pruned r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id) " +
           s"SELECT a, b, $cosLR AS cos FROM cand " +
-          "JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b " +
+          "JOIN emb2 ea ON ea.vec_id = a JOIN emb2 eb ON eb.vec_id = b " +
           s"WHERE $cosLR >= 0.95e0 ORDER BY a, b"
       }
     )

@@ -104,7 +104,7 @@ object Extras4 {
     s"${pagesWith(d)}, " +
       "tiles AS (SELECT cast(floor((lon - -180.0e0) / 5.0e0) as bigint) AS tile_x, " +
       "cast(floor((lat - -90.0e0) / 5.0e0) as bigint) AS tile_y, count(*) AS n_points " +
-      "FROM pages GROUP BY 1, 2 HAVING count(*) >= 3), " +
+      "FROM pages GROUP BY 1, 2 HAVING count(*) >= 1), " + // min_points 1: >=3 left no tile near zone 6 (vacuous r3 gate)
       "tb AS (SELECT tile_x, tile_y, n_points, " +
       "-180.0e0 + tile_x * 5.0e0 AS tx0, -180.0e0 + (tile_x + 1) * 5.0e0 AS tx1, " +
       "-90.0e0 + tile_y * 5.0e0 AS ty0, -90.0e0 + (tile_y + 1) * 5.0e0 AS ty1 FROM tiles) " +

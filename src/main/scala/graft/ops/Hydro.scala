@@ -51,22 +51,6 @@ object Hydro {
     s"g AS (SELECT ${Geo.ix(d, "lon", res)} AS ix, ${Geo.iy(d, "lat", res)} AS iy, " +
       s"count(*) AS v FROM pages GROUP BY 1, 2)"
 
-  /** Spark: (ix, iy, dir, tx, ty) — chosen descent dir per cell (dir −1 and
-    * NULL target when none). */
-  private[ops] def d8dirs(s: SparkSession, dir: String): DataFrame = {
-    val g = Raster.density(s, dir, res)
-    val h = Focal.haloD(g).filter(expr("NOT (dx = 0 AND dy = 0)"))
-      .withColumn("dir", expr(dirIdxE))
-      .withColumn("slope", expr(slopeE))
-      .filter(col("slope") > 0.0)
-    val best = h.groupBy("ix", "iy")
-      .agg(expr("min_by(named_struct('dir', dir, 'tx', nix, 'ty', niy), " +
-        "named_struct('ns', -slope, 'd', dir))").as("b"))
-      .selectExpr("ix", "iy", "b.dir AS dir", "b.tx AS tx", "b.ty AS ty")
-    g.select("ix", "iy").join(best, Seq("ix", "iy"), "left")
-      .selectExpr("ix", "iy", "coalesce(dir, -1) AS dir", "tx", "ty")
-  }
-
   // haloD drops nix/niy; rebuild a variant that keeps the neighbour coords
   private def haloKeep(g: DataFrame): DataFrame = {
     val centers = g.select(col("ix").as("cix"), col("iy").as("ciy"), col("v"))

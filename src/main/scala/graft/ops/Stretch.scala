@@ -189,9 +189,6 @@ object Stretch {
     val hist = g.groupBy("v").agg(count(lit(1)).as("c"))
       .as[(Long, Long)].collect().sortBy(_._1)
     val n = hist.map(_._2).sum
-    val mn = hist.head._1; val mx = hist.last._1
-    val numBins = math.ceil(math.max((mx - mn).toDouble, 2048.0)).toLong
-    val binSize = (mx - mn).toDouble / numBins.toDouble
     // bin → cdf over present values (empty bins inherit the running cum),
     // then the inverse-normal match and output tone — all ≤|distinct v|
     // driver rows, broadcast back as a value→tone LUT
