@@ -42,7 +42,8 @@ object SparkEntry {
       graft.ops.Lidar.queries ++ graft.ops.Hydro2.queries ++
       graft.ops.Color.queries ++ graft.ops.Streams2.queries ++
       graft.ops.HydroFill.queries ++ graft.ops.Cost.queries ++
-      graft.ops.TerrainIdx.queries ++ Map(
+      graft.ops.TerrainIdx.queries ++ graft.ops.Lidar2.queries ++
+      graft.ops.Extras5.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -162,7 +163,8 @@ object SparkEntry {
       graft.ops.Lidar.oracles ++ graft.ops.Hydro2.oracles ++
       graft.ops.Color.oracles ++ graft.ops.Streams2.oracles ++
       graft.ops.HydroFill.oracles ++ graft.ops.Cost.oracles ++
-      graft.ops.TerrainIdx.oracles ++ Map(
+      graft.ops.TerrainIdx.oracles ++ graft.ops.Lidar2.oracles ++
+      graft.ops.Extras5.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,

@@ -52,13 +52,18 @@ object Commit {
     val hconf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(dataPath)
     val fs = dir.getFileSystem(hconf)
-    val perFile = fs.listStatus(dir).toSeq
+    // footer reads in parallel (Java parallelStream — the scala-parallel-
+    // collections module is not on the classpath): serial per-file opens
+    // are a fixed driver-side cost that lands inside the benchmark's
+    // timed region
+    val files = fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
-        try (st.getPath.toString, rd.getRecordCount) finally rd.close()
-      }.sortBy(_._1)
+    val perFile = java.util.Arrays.stream(files.toArray).parallel().map[(String, Long)] { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
+      try (st.getPath.toString, rd.getRecordCount) finally rd.close()
+    }.collect(java.util.stream.Collectors.toList[(String, Long)])
+      .toArray(Array.empty[(String, Long)]).toSeq.sortBy(_._1)
     val total = perFile.map(_._2).sum
     val json =
       s"""{

@@ -67,15 +67,21 @@ object Extras4 {
 
   /** proper segment intersection (the line_intersections predicate) between
     * a tile edge (x1,y1)-(x2,y2) and a literal polygon edge. */
-  private def segCross(px1: Double, py1: Double, px2: Double, py2: Double): String = {
+  /** Segment-intersection predicate between polygon edge (px*, py*)
+    * literals and the tile edge given by ENDPOINT EXPRESSIONS (ex1..ey2) —
+    * parameters, not post-hoc string substitution (ADVICE r3: the old
+    * .replace("x1", …) chain silently corrupts the predicate if operand
+    * names overlap the replaced tokens). */
+  private def segCross(px1: Double, py1: Double, px2: Double, py2: Double,
+      ex1: String, ey1: String, ex2: String, ey2: String): String = {
     import Lit.{d => L}
-    val denom = s"((x1 - x2) * (${L(py1)} - ${L(py2)}) - (y1 - y2) * (${L(px1)} - ${L(px2)}))"
+    val denom = s"(($ex1 - $ex2) * (${L(py1)} - ${L(py2)}) - ($ey1 - $ey2) * (${L(px1)} - ${L(px2)}))"
     // CASE-guarded divisions: ANSI errors on x/0 and Catalyst may evaluate
     // the division before the denom<>0 conjunct (no short-circuit)
     val t = s"(CASE WHEN $denom = 0.0e0 THEN NULL ELSE " +
-      s"((x1 - ${L(px1)}) * (${L(py1)} - ${L(py2)}) - (y1 - ${L(py1)}) * (${L(px1)} - ${L(px2)})) / $denom END)"
+      s"(($ex1 - ${L(px1)}) * (${L(py1)} - ${L(py2)}) - ($ey1 - ${L(py1)}) * (${L(px1)} - ${L(px2)})) / $denom END)"
     val u = s"(CASE WHEN $denom = 0.0e0 THEN NULL ELSE " +
-      s"-((x1 - x2) * (y1 - ${L(py1)}) - (y1 - y2) * (x1 - ${L(px1)})) / $denom END)"
+      s"-(($ex1 - $ex2) * ($ey1 - ${L(py1)}) - ($ey1 - $ey2) * ($ex1 - ${L(px1)})) / $denom END)"
     s"($denom <> 0.0e0 AND $t >= 0.0e0 AND $t <= 1.0e0 AND $u >= 0.0e0 AND $u <= 1.0e0)"
   }
 
@@ -98,8 +104,7 @@ object Extras4 {
     val crosses = (for {
       (ex1, ey1, ex2, ey2) <- tileEdges
       (px1, py1, px2, py2) <- edges
-    } yield s"(${segCross(px1, py1, px2, py2)
-      .replace("x1", ex1).replace("y1", ey1).replace("x2", ex2).replace("y2", ey2)})")
+    } yield s"(${segCross(px1, py1, px2, py2, ex1, ey1, ex2, ey2)})")
       .mkString(" OR ")
     s"${pagesWith(d)}, " +
       "tiles AS (SELECT cast(floor((lon - -180.0e0) / 5.0e0) as bigint) AS tile_x, " +

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.core.{Dialect, DuckD, Geo, Lit, SparkD}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LiDAR tail batch over the NYC point fixture (x = lon, y = lat,
+  * z = n_chars — the Lidar.scala substrate):
+  *
+  *   - LidarPointDensity (lidar_analysis/lidar_point_density.rs): gridded
+  *     density = points within `radius` of each cell centre / (π·r²).
+  *     Block-bucketed FRS join (bucket width = radius, 3×3 probe), never a
+  *     distance cross join.
+  *   - LidarThin (lidar_thin.rs): `resolution` grid, ONE point kept per
+  *     cell; selection = lowest z (the reference's --method=lowest), ties
+  *     by smallest id (scan-order tie is output identity).
+  *   - LidarTileFootprint (lidar_tile_footprint.rs): per tile the point
+  *     count and bounding box (the hull option is not cloned — bbox is the
+  *     default footprint).
+  *   - FilterLidarScanAngles (filter_lidar_scan_angles.rs): drop points
+  *     with |scan angle| above the threshold. The fixture has no scanner
+  *     column, so the angle is derived deterministically from the page
+  *     text digest (h3 % 41 − 20 ∈ [−20, 20]), identically in both
+  *     engines.
+  *   - LidarHistogram (lidar_histogram.rs): z histogram with fixed-width
+  *     bins (100 n_chars units, origin 0).
+  */
+object Lidar2 {
+
+  private val nycBox = "lon >= -74.05e0 AND lon <= -73.85e0 AND lat >= 40.65e0 AND lat <= 40.85e0"
+  private val radius = 0.02
+  private val r2 = Lit.d(radius * radius)
+  private val res = 0.0125
+  private val cellsPerSide = 16 // 0.2 / res
+  private val tileRes = 0.05
+  private val tilesPerSide = 4
+  private val maxScanAngle = 15L
+  private val binW = 100L
+  private val pi = Lit.d(math.Pi)
+
+  private def pagesWith(d: Dialect) = s"WITH pages AS (${Geo.pagesCte(d)})"
+
+  private def ptsSql(d: Dialect): String =
+    s"pts AS (SELECT doc_id AS id, lon AS x, lat AS y, cast(n_chars as bigint) AS z, " +
+      s"cast(${Geo.h3(d)} % 41 - 20 as bigint) AS scan_angle " +
+      s"FROM pages WHERE $nycBox)"
+
+  private def pts(s: SparkSession, dir: String): DataFrame = {
+    Tables.pages(s, dir).filter(expr(nycBox))
+      .selectExpr("doc_id AS id", "lon AS x", "lat AS y", "cast(n_chars as bigint) AS z",
+        s"cast(${Geo.h3(SparkD)} % 41 - 20 as bigint) AS scan_angle")
+  }
+
+  private val cellIxE = s"cast(floor((x - (-74.05e0)) / ${Lit.d(res)}) as bigint)"
+  private val cellIyE = s"cast(floor((y - 40.65e0) / ${Lit.d(res)}) as bigint)"
+  private val tileIxE = s"cast(floor((x - (-74.05e0)) / ${Lit.d(tileRes)}) as bigint)"
+  private val tileIyE = s"cast(floor((y - 40.65e0) / ${Lit.d(tileRes)}) as bigint)"
+  private def centreX(ix: String) = s"(-74.05e0 + (cast($ix as double) + 0.5e0) * ${Lit.d(res)})"
+  private def centreY(iy: String) = s"(40.65e0 + (cast($iy as double) + 0.5e0) * ${Lit.d(res)})"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // density grid: cells probe the 3×3 surrounding point buckets
+    "lidar_point_density" -> ((s, dir) => {
+      import Lit.{d => L}
+      val p = pts(s, dir)
+        .withColumn("bx", expr(s"cast(floor(x / ${L(radius)}) as bigint)"))
+        .withColumn("by", expr(s"cast(floor(y / ${L(radius)}) as bigint)"))
+      val cells = s.range(0, (cellsPerSide * cellsPerSide).toLong)
+        .selectExpr(s"id % $cellsPerSide AS cix", s"id div $cellsPerSide AS ciy")
+        .selectExpr("cix", "ciy", s"${centreX("cix")} AS cx", s"${centreY("ciy")} AS cy")
+      val probes = cells
+        .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+        .selectExpr("cix", "ciy", "cx", "cy",
+          s"cast(floor(cx / ${L(radius)}) as bigint) + dx AS bx",
+          s"cast(floor(cy / ${L(radius)}) as bigint) + dy AS by")
+      probes.join(p.select("bx", "by", "x", "y"), Seq("bx", "by"))
+        .filter(expr(s"(x - cx) * (x - cx) + (y - cy) * (y - cy) <= $r2"))
+        .groupBy("cix", "ciy")
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("cix AS ix", "ciy AS iy",
+          s"cast(n as double) / ($pi * $r2) AS density")
+        .orderBy("ix", "iy")
+    }),
+
+    "lidar_thin" -> ((s, dir) =>
+      pts(s, dir)
+        .selectExpr("id", "z", s"$cellIxE AS ix", s"$cellIyE AS iy")
+        .groupBy("ix", "iy")
+        .agg(expr("min_by(named_struct('id', id, 'z', z), named_struct('z', z, 'id', id))").as("b"))
+        .selectExpr("ix", "iy", "b.id AS doc_id", "b.z AS z")
+        .orderBy("ix", "iy")),
+
+    "lidar_tile_footprint" -> ((s, dir) =>
+      pts(s, dir)
+        .selectExpr("id", "x", "y", s"$tileIxE AS tix", s"$tileIyE AS tiy")
+        .groupBy("tix", "tiy")
+        .agg(count(lit(1)).as("n"), min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("tix", "tiy")),
+
+    "filter_lidar_scan_angles" -> ((s, dir) =>
+      pts(s, dir)
+        .filter(expr(s"abs(scan_angle) <= $maxScanAngle"))
+        .selectExpr("id AS doc_id", "scan_angle")
+        .orderBy("doc_id")),
+
+    "lidar_histogram" -> ((s, dir) =>
+      pts(s, dir)
+        .selectExpr("id", "z", s"(z div $binW) AS bin")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("bin"))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "lidar_point_density" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)}, " +
+        s"cells AS (SELECT a.r AS cix, b.r AS ciy FROM range(0, $cellsPerSide) a(r) " +
+        s"CROSS JOIN range(0, $cellsPerSide) b(r)), " +
+        s"cc AS (SELECT cix, ciy, ${centreX("cix")} AS cx, ${centreY("ciy")} AS cy FROM cells), " +
+        "hits AS (SELECT cc.cix, cc.ciy, count(*) AS n FROM cc JOIN pts p " +
+        s"ON (p.x - cc.cx) * (p.x - cc.cx) + (p.y - cc.cy) * (p.y - cc.cy) <= $r2 " +
+        "GROUP BY 1, 2) " +
+        s"SELECT cix AS ix, ciy AS iy, cast(n as double) / ($pi * $r2) AS density " +
+        "FROM hits ORDER BY ix, iy"),
+
+    "lidar_thin" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)}, " +
+        s"g AS (SELECT id, z, $cellIxE AS ix, $cellIyE AS iy, " +
+        "row_number() OVER (PARTITION BY " +
+        s"$cellIxE, $cellIyE ORDER BY z, id) AS rn FROM pts) " +
+        "SELECT ix, iy, id AS doc_id, z FROM g WHERE rn = 1 ORDER BY ix, iy"),
+
+    "lidar_tile_footprint" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)} " +
+        s"SELECT $tileIxE AS tix, $tileIyE AS tiy, count(*) AS n, " +
+        "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+        "FROM pts GROUP BY 1, 2 ORDER BY tix, tiy"),
+
+    "filter_lidar_scan_angles" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)} " +
+        s"SELECT id AS doc_id, scan_angle FROM pts WHERE abs(scan_angle) <= $maxScanAngle " +
+        "ORDER BY doc_id"),
+
+    "lidar_histogram" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)} " +
+        s"SELECT (z // $binW) AS bin, count(*) AS n, min(z) AS min_z, max(z) AS max_z " +
+        "FROM pts GROUP BY 1 ORDER BY bin")
+  )
+}

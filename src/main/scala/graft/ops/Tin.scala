@@ -102,6 +102,34 @@ object Tin {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ConstructVectorTIN (construct_vector_tin.rs): the triangle list
+    // itself as output — vertex ids + shoelace area.
+    "construct_vector_tin" -> ((s, dir) =>
+      triangles(s, dir)
+        .selectExpr("a", "b", "c", s"round(abs($detE) / 2.0e0, 10) AS area")
+        .orderBy("a", "b", "c")),
+
+    // VoronoiDiagram (voronoi_diagram.rs:21-33): the circumcentre dual —
+    // one Voronoi edge per INTERIOR Delaunay edge (shared by 2 triangles),
+    // joining the two circumcentres. Hull edges' infinite rays are not
+    // emitted (documented omission; the reference clips them to the box).
+    "voronoi_diagram" -> ((s, dir) => {
+      val tri = triangles(s, dir)
+        .withColumn("d", expr(dE))
+        .withColumn("ux", expr(uxE)).withColumn("uy", expr(uyE))
+      val edges = tri.selectExpr(
+        "stack(3, a, b, ux, uy, b, c, ux, uy, a, c, ux, uy) AS (e1, e2, ux, uy)")
+      edges.groupBy("e1", "e2")
+        .agg(count(lit(1)).as("cnt"),
+          expr("min_by(named_struct('x', ux, 'y', uy), named_struct('x', ux, 'y', uy))").as("c1"),
+          expr("max_by(named_struct('x', ux, 'y', uy), named_struct('x', ux, 'y', uy))").as("c2"))
+        .filter(col("cnt") === 2)
+        .selectExpr("e1", "e2", "round(c1.x, 6) AS x1", "round(c1.y, 6) AS y1",
+          "round(c2.x, 6) AS x2", "round(c2.y, 6) AS y2")
+        .orderBy("e1", "e2")
+    }),
+
     "tin_gridding" -> ((s, dir) => {
       val tri = triangles(s, dir)
       // bbox cover over the fine target grid → equi-join (no cross product)
@@ -130,7 +158,39 @@ object Tin {
     Seq("ax", "ay", "za", "bx", "by", "zb", "cx", "cy", "zc", "tx", "ty")
       .foldLeft(e)((acc, c) => acc.replaceAll(s"\\b$c\\b", s"t.$c"))
 
+  /** shared DuckDB triangle-set prefix ending in `tri` (global brute-force
+    * Delaunay with the same radius/centre-cell bounds). */
+  private def duckTriCtes: String =
+    s"pts AS (SELECT doc_id AS id, lon AS x, lat AS y, cast(n_chars as double) AS z FROM pages WHERE $nycBox), " +
+      "t0 AS (SELECT a.id AS a, b.id AS b, c.id AS c, a.x AS ax, a.y AS ay, a.z AS za, " +
+      "b.x AS bx, b.y AS by, b.z AS zb, c.x AS cx, c.y AS cy, c.z AS zc, " +
+      s"$dE AS d FROM pts a JOIN pts b ON a.id < b.id JOIN pts c ON b.id < c.id), " +
+      s"t1 AS (SELECT *, $uxE AS ux, $uyE AS uy FROM t0 WHERE d <> 0.0e0), " +
+      s"t2 AS (SELECT *, $r2E AS r2 FROM t1), " +
+      s"tri AS (SELECT * FROM t2 WHERE r2 <= ${Lit.d(r2max)} " +
+      s"AND ${cellOf("ux", x0)} BETWEEN 0 AND 1 AND ${cellOf("uy", y0)} BETWEEN 0 AND 1 " +
+      "AND NOT EXISTS (SELECT 1 FROM pts p WHERE p.id <> a AND p.id <> b AND p.id <> c " +
+      "AND (p.x - ux) * (p.x - ux) + (p.y - uy) * (p.y - uy) < r2))"
+
   def oracles: Map[String, String] = Map(
+
+    "construct_vector_tin" ->
+      (s"${pagesWith(DuckD)}, $duckTriCtes " +
+        s"SELECT a, b, c, round(abs($detE) / 2.0e0, 10) AS area FROM tri ORDER BY a, b, c"),
+
+    "voronoi_diagram" ->
+      (s"${pagesWith(DuckD)}, $duckTriCtes, " +
+        "edges AS (SELECT a AS e1, b AS e2, ux, uy FROM tri " +
+        "UNION ALL SELECT b, c, ux, uy FROM tri UNION ALL SELECT a, c, ux, uy FROM tri), " +
+        "ev AS (SELECT e1, e2, ux, uy, " +
+        "row_number() OVER (PARTITION BY e1, e2 ORDER BY ux, uy) AS rn, " +
+        "count(*) OVER (PARTITION BY e1, e2) AS cnt FROM edges) " +
+        "SELECT e1, e2, round(max(CASE WHEN rn = 1 THEN ux END), 6) AS x1, " +
+        "round(max(CASE WHEN rn = 1 THEN uy END), 6) AS y1, " +
+        "round(max(CASE WHEN rn = 2 THEN ux END), 6) AS x2, " +
+        "round(max(CASE WHEN rn = 2 THEN uy END), 6) AS y2 " +
+        "FROM ev WHERE cnt = 2 GROUP BY 1, 2 ORDER BY e1, e2"),
+
     "tin_gridding" -> {
       val d = DuckD
       s"${pagesWith(d)}, " +
