@@ -196,6 +196,19 @@ object Dem {
         s"cast(1 - ($isDiagE) as bigint) AS ec", s"cast($isDiagE as bigint) AS ed")
   }
 
+  /** ALL D8 edges of the dem (not stream-restricted) with step counts. */
+  def edges(s: SparkSession, dir: String): DataFrame = memo(s, dir, "edges") {
+    dd(s, dir).filter(col("dir") >= 0)
+      .selectExpr("ix", "iy", "tx", "ty",
+        s"cast(1 - ($isDiagE) as bigint) AS ec", s"cast($isDiagE as bigint) AS ed")
+  }
+
+  /** inflow count per cell over ALL dem edges (0-indeg cells = divides). */
+  def indegAll(s: SparkSession, dir: String): DataFrame = memo(s, dir, "indeg_all") {
+    edges(s, dir).groupBy(col("tx").as("ix"), col("ty").as("iy"))
+      .agg(count(lit(1)).as("n_in"))
+  }
+
   def indeg(s: SparkSession, dir: String): DataFrame = memo(s, dir, "indeg") {
     sedges(s, dir).groupBy(col("tx").as("ix"), col("ty").as("iy"))
       .agg(count(lit(1)).as("n_in"))
