@@ -255,8 +255,36 @@ object ShapeMetrics {
         .selectExpr("fid", "holes / outer_a AS hole_prop")
         .orderBy("fid")
     }),
-    "shape_metrics_hull" -> ((s, dir) => hullMetrics(s).orderBy("fid", "ring_id"))
+    "shape_metrics_hull" -> ((s, dir) => hullMetrics(s).orderBy("fid", "ring_id")),
+    // PolygonLongAxis / PolygonShortAxis (gis_analysis/polygon_long_axis
+    // .rs, polygon_short_axis.rs): the reference emits the axis as a line
+    // feature through the polygon; the informative attribute — the
+    // min-area-MBB side lengths from the same calipers — is emitted here.
+    "polygon_long_axis" -> ((s, dir) => axes(s)
+      .selectExpr("fid", "ring_id", "round(greatest(d1, d2), 6) AS long_axis")
+      .orderBy("fid", "ring_id")),
+    "polygon_short_axis" -> ((s, dir) => axes(s)
+      .selectExpr("fid", "ring_id", "round(least(d1, d2), 6) AS short_axis")
+      .orderBy("fid", "ring_id"))
   )
+
+  /** min-area MBB side lengths per ring (same calipers as hullMetrics). */
+  private def axes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rings = graft.core.Zones.worldZones
+    val verts = s.createDataset(rings.flatMap { r =>
+      r.xs.indices.map(i => (r.fid, r.ringId, i, r.xs(i), r.ys(i)))
+    })
+    verts.groupByKey(r => (r._1, r._2)).mapGroups { (key, it) =>
+      val (fid, rid) = key
+      val vs = it.toArray.sortBy(_._3)
+      val hull = Hull.convexHull(vs.map(_._4).zip(vs.map(_._5)))
+      val mbb = Hull.minimumBoundingBox(hull)
+      def dist(a: (Double, Double), b: (Double, Double)) =
+        math.sqrt((a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2))
+      (fid, rid, dist(mbb(0), mbb(1)), dist(mbb(1), mbb(2)))
+    }.toDF("fid", "ring_id", "d1", "d2")
+  }
 
   def oracles: Map[String, String] = Map(
     "shape_metrics" -> {
@@ -274,6 +302,17 @@ object ShapeMetrics {
         "SELECT fid, sum(CASE WHEN is_hole_flag THEN area ELSE 0.0e0 END) / " +
         "sum(CASE WHEN is_hole_flag THEN 0.0e0 ELSE area END) AS hole_prop " +
         "FROM a GROUP BY fid ORDER BY fid"),
-    "shape_metrics_hull" -> hullMetricsDuck
+    "shape_metrics_hull" -> hullMetricsDuck,
+    "polygon_long_axis" -> axisDuck("greatest(longx, shortx)", "long_axis"),
+    "polygon_short_axis" -> axisDuck("least(longx, shortx)", "short_axis")
   )
+
+  /** reuse the hull/calipers CTE chain, swapping the final projection. */
+  private def axisDuck(pick: String, as: String): String = {
+    val base = hullMetricsDuck
+    val cut = base.lastIndexOf("SELECT cast(k // 10 as int) AS fid")
+    base.substring(0, cut) +
+      s"SELECT cast(k // 10 as int) AS fid, cast(k % 10 as int) AS ring_id, " +
+      s"round($pick, 6) AS $as FROM mbb ORDER BY fid, ring_id"
+  }
 }
