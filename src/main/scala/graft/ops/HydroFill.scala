@@ -115,7 +115,7 @@ object HydroFill {
   // ---- DuckDB twins ----------------------------------------------------
 
   /** unrolled synchronous fill rounds ending in f{fillRounds}. */
-  private def duckFillCtes: String = {
+  private[ops] def duckFillCtes: String = {
     val rounds = (1 to fillRounds).map { r =>
       val p = s"f${r - 1}"
       s"f$r AS MATERIALIZED (SELECT c.ix, c.iy, c.z, " +

@@ -163,7 +163,7 @@ object Streams2 {
   )
 
   /** within-link channel length per link (sum of same-link edge steps). */
-  private def linkLen(s: SparkSession, dir: String): DataFrame =
+  private[ops] def linkLen(s: SparkSession, dir: String): DataFrame =
     Dem.memo(s, dir, "link_len") {
       val lk = Dem.links(s, dir)
       Dem.sedges(s, dir)
