@@ -55,6 +55,15 @@ object Ann {
       s"(CASE WHEN ${d.elemD(arr, c)} > 0.0e0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** coarse 8-plane probe bucket (256 cells) for the LSH top-k path: the
+    * 16-plane bucket is the partition key at corpus scale, but at the
+    * 500-vector fixture it never collides and the probe would be vacuous;
+    * the coarse bucket keeps the same plan shape with real candidates. */
+  private def lshBucketCoarse(d: Dialect, arr: String): String =
+    bandCoords(0).take(8).zipWithIndex.map { case (c, i) =>
+      s"(CASE WHEN ${d.elemD(arr, c)} > 0.0e0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-k for query vectors vec_id < 10.
@@ -83,6 +92,30 @@ object Ann {
         .select(col("vec_id"),
           expr(lshBucket(SparkD, "embedding")).as("bucket"))
         .orderBy("vec_id")
+    }),
+
+    // LSH-bucketed top-k: the IVF-style SCALE path for similarity search —
+    // each query probes only its own band-0 sign-bucket (candidates =
+    // bucket members), then exact cosine ranks the bounded candidate set.
+    // Blocking recall is part of the spec (both engines identical);
+    // ann_cosine_topk above remains the exact brute-force baseline.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(lshBucketCoarse(SparkD, "embedding")).as("bucket"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("ea"), col("bucket"))
+      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("bucket"))
+      val scored = c.join(q, Seq("bucket"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos", expr(
+          s"round(($sparkDot) / (${norm(sparkDot.replace("eb", "ea"))} * ${norm(sparkDot.replace("ea", "eb"))}), 6)"))
+      scored.groupBy("qid")
+        .agg(graft.agg.TopKByDist.topK(k)(negate(col("cos")), col("nid")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), expr("cast(pos + 1 as int)").as("rank"),
+          col("col.id").as("nid"), negate(col("col.dist")).as("cos"))
+        .orderBy("qid", "rank")
     }),
 
     // Near-duplicate embeddings: multi-band sign-LSH (4 disjoint bands of
@@ -153,6 +186,14 @@ object Ann {
       "ann_lsh_buckets" ->
         (s"SELECT vec_id, ${lshBucket(DuckD, "embedding")} AS bucket " +
           "FROM embeddings ORDER BY vec_id"),
+      "ann_lsh_topk" ->
+        (s"WITH eb AS (SELECT vec_id, embedding, ${lshBucketCoarse(DuckD, "embedding")} AS bucket FROM embeddings), " +
+          "q AS (SELECT vec_id AS qid, embedding AS ea, bucket FROM eb WHERE vec_id < 10), " +
+          "c AS (SELECT vec_id AS nid, embedding AS eb2, bucket FROM eb), " +
+          s"scored AS (SELECT qid, nid, ${cosDuck.replace("eb", "eb2")} AS cos " +
+          "FROM q JOIN c USING (bucket) WHERE nid <> qid), " +
+          "r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored) " +
+          s"SELECT qid, rank, nid, cos FROM r WHERE rank <= $k ORDER BY qid, rank"),
       "embedding_neardup" -> {
         val bandRows = (0 until 4).map(b =>
           s"SELECT vec_id, $b AS band, ${lshBucket(DuckD, "embedding", b)} AS bucket FROM emb2")
