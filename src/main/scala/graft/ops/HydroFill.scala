@@ -95,6 +95,31 @@ object HydroFill {
         .orderBy("ix", "iy")
     }),
 
+    // Hillslopes (hillslopes.rs:105-260): the stream set is segmented
+    // like links EXCEPT channel heads become singleton labels (the
+    // reference re-labels every head after the peel); every other cell
+    // takes the label of the first stream cell downstream. Labels are
+    // canonical cell coords (scan-order numbering is output identity).
+    "hillslopes" -> ((s, dir) => {
+      val st = Dem.streams(s, dir)
+      val hl = st
+        .join(Dem.heads(s, dir).withColumn("is_h", lit(1)), Seq("ix", "iy"), "left")
+        .join(Dem.links(s, dir), Seq("ix", "iy"))
+        .selectExpr("ix", "iy",
+          "CASE WHEN is_h = 1 THEN ix * 1000 + iy ELSE link_id END AS hs")
+      val p0 = Dem.dd(s, dir)
+        .join(st.withColumn("is_st", lit(1)), Seq("ix", "iy"), "left")
+        .selectExpr("ix", "iy",
+          "CASE WHEN is_st = 1 OR dir < 0 THEN ix ELSE tx END AS rx",
+          "CASE WHEN is_st = 1 OR dir < 0 THEN iy ELSE ty END AS ry")
+      val rooted = Dem.converge(p0, 64, 1, "hillslopes") { p =>
+        p.join(p.selectExpr("ix AS rx", "iy AS ry", "rx AS rx2", "ry AS ry2"), Seq("rx", "ry"))
+          .selectExpr("ix", "iy", "rx2 AS rx", "ry2 AS ry")
+      }
+      rooted.join(hl.selectExpr("ix AS rx", "iy AS ry", "hs"), Seq("rx", "ry"))
+        .select("ix", "iy", "hs").orderBy("ix", "iy")
+    }),
+
     "subbasins" -> ((s, dir) => {
       val st = Dem.streams(s, dir)
       val p0 = Dem.dd(s, dir)
@@ -169,6 +194,18 @@ object HydroFill {
         "LEFT JOIN pour pp ON pp.ix = w.cx AND pp.iy = w.cy WHERE pp.ix IS NULL)") +
       "SELECT w.sx AS ix, w.sy AS iy, p.pid AS ws FROM wwalk w " +
       "JOIN pour p ON p.ix = w.cx AND p.iy = w.cy ORDER BY ix, iy"),
+
+    "hillslopes" -> (W(Dem.duckLinkCtes,
+      "hl AS (SELECT st.ix, st.iy, CASE WHEN h.ix IS NOT NULL THEN st.ix * 1000 + st.iy " +
+        "ELSE lk.link_id END AS hs FROM st " +
+        "LEFT JOIN heads h ON h.ix = st.ix AND h.iy = st.iy " +
+        "JOIN lk ON lk.ix = st.ix AND lk.iy = st.iy)",
+      "hwalk2 AS (SELECT dd.ix AS sx, dd.iy AS sy, dd.ix AS cx, dd.iy AS cy FROM dd " +
+        "UNION ALL SELECT w.sx, w.sy, dd.tx, dd.ty FROM hwalk2 w " +
+        "JOIN dd ON dd.ix = w.cx AND dd.iy = w.cy AND dd.dir >= 0 " +
+        "LEFT JOIN st s2 ON s2.ix = w.cx AND s2.iy = w.cy WHERE s2.ix IS NULL)") +
+      "SELECT w.sx AS ix, w.sy AS iy, hl.hs FROM hwalk2 w " +
+      "JOIN hl ON hl.ix = w.cx AND hl.iy = w.cy ORDER BY ix, iy"),
 
     "subbasins" -> (W(Dem.duckLinkCtes,
       "sbwalk AS (SELECT dd.ix AS sx, dd.iy AS sy, dd.ix AS cx, dd.iy AS cy FROM dd " +
