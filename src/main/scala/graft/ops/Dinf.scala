@@ -54,8 +54,16 @@ object Dinf {
       s"WHEN ($rRaw) > $atan1 THEN $atan1 ELSE ($rRaw) END) " +
       s"WHEN e0 > e1 THEN 0.0e0 WHEN e0 > e2 THEN $atan1 ELSE NULL END"
 
+  /** memoized (ix, iy, dinf_dir) frame shared with the accumulation. */
+  private[ops] def dirFrame(s: SparkSession, dir: String): DataFrame =
+    Dem.memo(s, dir, "dinf_dir") { dirDF(s, dir) }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dinf_pointer" -> ((s, dir) => {
+    "dinf_pointer" -> ((s, dir) => dirFrame(s, dir).orderBy("ix", "iy"))
+  )
+
+  private def dirDF(s: SparkSession, dir: String): DataFrame = {
+    {
       val sp = s
       import sp.implicits._
       val facets = (0 until 8).map(i =>
@@ -79,9 +87,8 @@ object Dinf {
             "round(CASE WHEN 360.0e0 - degrees(dir0) + 90.0e0 > 360.0e0 " +
             "THEN 360.0e0 - degrees(dir0) + 90.0e0 - 360.0e0 " +
             "ELSE 360.0e0 - degrees(dir0) + 90.0e0 END, 6) END AS dinf_dir")
-        .orderBy("ix", "iy")
-    })
-  )
+    }
+  }
 
   def oracles: Map[String, String] = Map(
     "dinf_pointer" -> (s"WITH RECURSIVE ${Dem.duckDemCtes}, " +

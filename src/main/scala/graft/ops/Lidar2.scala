@@ -106,6 +106,34 @@ object Lidar2 {
         .selectExpr("id AS doc_id", "scan_angle")
         .orderBy("doc_id")),
 
+    // LasToAscii (las_to_ascii.rs): the point cloud through a REAL text
+    // sink and back — CSV round trip certifies the export lossless.
+    "las_to_ascii" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_las_ascii_${Math.abs(dir.hashCode)}"
+      pts(s, dir).selectExpr("id", "x", "y", "z")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("id BIGINT, x DOUBLE, y DOUBLE, z BIGINT").csv(tmp)
+        .orderBy("id")
+    }),
+
+    // LidarColourize (lidar_colourize.rs): points take the RGB of the
+    // colour-composite cell under them (Color.scala's en/zh/es bands).
+    "lidar_colourize" -> ((s, dir) => {
+      val bands = Tables.pages(s, dir)
+        .filter(expr("lang IN ('en', 'zh', 'es')"))
+        .selectExpr("lang", s"${Geo.ix(SparkD, "lon", 5)} AS bx", s"${Geo.iy(SparkD, "lat", 5)} AS by")
+        .groupBy("bx", "by")
+        .agg(expr("cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint)").as("r"),
+          expr("cast(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) as bigint)").as("g"),
+          expr("cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) as bigint)").as("b"))
+      pts(s, dir)
+        .selectExpr("id", s"${Geo.ix(SparkD, "x", 5)} AS bx", s"${Geo.iy(SparkD, "y", 5)} AS by")
+        .join(bands, Seq("bx", "by"), "left")
+        .selectExpr("id AS doc_id", "coalesce(r, 0) AS r", "coalesce(g, 0) AS g", "coalesce(b, 0) AS b")
+        .orderBy("doc_id")
+    }),
+
     "lidar_histogram" -> ((s, dir) =>
       pts(s, dir)
         .selectExpr("id", "z", s"(z div $binW) AS bin")
@@ -144,6 +172,22 @@ object Lidar2 {
       (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)} " +
         s"SELECT id AS doc_id, scan_angle FROM pts WHERE abs(scan_angle) <= $maxScanAngle " +
         "ORDER BY doc_id"),
+
+    "las_to_ascii" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)} " +
+        "SELECT id, x, y, z FROM pts ORDER BY id"),
+
+    "lidar_colourize" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)}, " +
+        s"bands AS (SELECT ${Geo.ix(DuckD, "lon", 5)} AS bx, ${Geo.iy(DuckD, "lat", 5)} AS by, " +
+        "cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint) AS r, " +
+        "cast(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) as bigint) AS g, " +
+        "cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) as bigint) AS b " +
+        "FROM pages WHERE lang IN ('en', 'zh', 'es') GROUP BY 1, 2) " +
+        s"SELECT p.id AS doc_id, coalesce(bands.r, 0) AS r, coalesce(bands.g, 0) AS g, " +
+        s"coalesce(bands.b, 0) AS b FROM pts p " +
+        s"LEFT JOIN bands ON bands.bx = ${Geo.ix(DuckD, "p.x", 5)} " +
+        s"AND bands.by = ${Geo.iy(DuckD, "p.y", 5)} ORDER BY doc_id"),
 
     "lidar_histogram" ->
       (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)} " +
