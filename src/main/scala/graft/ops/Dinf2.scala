@@ -28,6 +28,11 @@ object Dinf2 {
 
   private val M = 1000000L
 
+  private def loadME(d: graft.core.Dialect): String =
+    s"(1 + ${d.md5Bits(s"('l' || ${d.toStr("ix")} || '_' || ${d.toStr("iy")})", 1)} % 5)"
+  private def effME(d: graft.core.Dialect): String =
+    s"(80 + ${d.md5Bits(s"('e' || ${d.toStr("ix")} || '_' || ${d.toStr("iy")})", 1)} % 20)"
+
   // sector k = [45k, 45(k+1)) → target offsets in (dx, dyNorth): t1, t2
   private val t1x = Seq(0, 1, 1, 1, 0, -1, -1, -1)
   private val t1y = Seq(1, 1, 0, -1, -1, -1, 0, 1)
@@ -105,6 +110,34 @@ object Dinf2 {
         .selectExpr("ix", "iy", s"cast(flux as double) / $M.0e0 AS fa_fd8")
         .orderBy("ix", "iy")),
 
+    // DInfMassFlux (hydro_analysis/dinf_mass_flux.rs): the mass-flux
+    // recursion (loading, efficiency, absorption 0) routed along the D-inf
+    // proportional edges — same integer fixed-point discipline as
+    // d8_mass_flux (load 1..5 in M units, efficiency 80..99%).
+    "dinf_mass_flux" -> ((s, dir) => {
+      val e = dinfEdges(s, dir).localCheckpoint()
+      val nin = e.groupBy(col("tx").as("ix"), col("ty").as("iy"))
+        .agg(count(lit(1)).as("n_in"))
+      val base = Dem.dem(s, dir).selectExpr("ix", "iy",
+        s"cast(${loadME(graft.core.SparkD)} as bigint) * $M AS load",
+        s"cast(${effME(graft.core.SparkD)} as bigint) AS eff")
+      val init = base.join(nin, Seq("ix", "iy"), "left")
+        .selectExpr("ix", "iy", "load", "eff",
+          "CASE WHEN n_in IS NULL THEN load END AS flux")
+      Dem.converge(init, 96, 8, "dinf_mass_flux") { cur =>
+        val inflow = e.join(cur, Seq("ix", "iy"))
+          .selectExpr("tx", "ty", "CASE WHEN flux IS NULL THEN 1 ELSE 0 END AS nn",
+            s"(((flux * eff) div 100) * pm) div $M AS part")
+          .groupBy(col("tx").as("ix"), col("ty").as("iy"))
+          .agg(expr("cast(sum(nn) as bigint)").as("nnull"),
+            expr("cast(sum(part) as bigint)").as("inflow"))
+        cur.join(inflow, Seq("ix", "iy"), "left")
+          .selectExpr("ix", "iy", "load", "eff",
+            "CASE WHEN flux IS NOT NULL THEN flux WHEN nnull = 0 THEN load + inflow END AS flux")
+      }.selectExpr("ix", "iy", s"cast(flux as double) / $M.0e0 AS mass_flux")
+        .orderBy("ix", "iy")
+    }),
+
     "flow_length_diff" -> ((s, dir) => {
       val dl = Dem.memo(s, dir, "down_len2") {
         val e = Dem.edges(s, dir)
@@ -175,6 +208,25 @@ object Dinf2 {
   private val routeRounds = 40
   private val fd8Rounds = 160
 
+  /** mass-flux routing rounds over `re` + `mbase(ix,iy,load,eff)`. */
+  private def duckMassRoute(rounds: Int): String = {
+    val nin = "mnin AS (SELECT tx AS ix, ty AS iy, count(*) AS n FROM re GROUP BY 1, 2)"
+    val r0 = "mr0 AS (SELECT mbase.ix, mbase.iy, mbase.load, mbase.eff, " +
+      "CASE WHEN mnin.n IS NULL THEN mbase.load END AS flux " +
+      "FROM mbase LEFT JOIN mnin ON mnin.ix = mbase.ix AND mnin.iy = mbase.iy)"
+    val rs = (1 to rounds).map { r =>
+      val p = s"mr${r - 1}"
+      s"mg$r AS (SELECT re.tx AS ix, re.ty AS iy, " +
+        "cast(sum(CASE WHEN p.flux IS NULL THEN 1 ELSE 0 END) as bigint) AS nnull, " +
+        s"cast(sum((((p.flux * p.eff) // 100) * re.pm) // $M) as bigint) AS inflow " +
+        s"FROM re JOIN $p p ON p.ix = re.ix AND p.iy = re.iy GROUP BY 1, 2), " +
+        s"mr$r AS MATERIALIZED (SELECT v.ix, v.iy, v.load, v.eff, " +
+        "CASE WHEN v.flux IS NOT NULL THEN v.flux WHEN g.nnull = 0 THEN v.load + g.inflow END AS flux " +
+        s"FROM $p v LEFT JOIN mg$r g ON g.ix = v.ix AND g.iy = v.iy)"
+    }.mkString(", ")
+    s"$nin, $r0, $rs"
+  }
+
   def oracles: Map[String, String] = Map(
 
     "dinf_flow_accum" -> (Wd(duckDinfDir,
@@ -201,6 +253,22 @@ object Dinf2 {
         s"WHERE cast(round(wt.w / twt.tw * $M) as bigint) > 0)",
       duckRoute(fd8Rounds)) +
       s"SELECT ix, iy, cast(flux as double) / $M.0e0 AS fa_fd8 FROM r$fd8Rounds ORDER BY ix, iy"),
+
+    "dinf_mass_flux" -> (Wd(duckDinfDir,
+      s"sect AS (SELECT * FROM (VALUES $sectValues) s(k, x1, y1, x2, y2))",
+      "dk AS (SELECT dv.ix, dv.iy, least(cast(floor(dv.dinf_dir / 45.0e0) as int), 7) AS k, dv.dinf_dir " +
+        "FROM dv WHERE dv.dinf_dir >= 0.0e0)",
+      "dp AS (SELECT dk.ix, dk.iy, sect.x1, sect.y1, sect.x2, sect.y2, " +
+        s"cast(round((cast(45 * (dk.k + 1) as double) - dk.dinf_dir) / 45.0e0 * $M) as bigint) AS p1m " +
+        "FROM dk JOIN sect ON sect.k = dk.k)",
+      "reu AS (SELECT ix, iy, ix + x1 AS tx, iy + y1 AS ty, p1m AS pm FROM dp " +
+        s"UNION ALL SELECT ix, iy, ix + x2, iy + y2, $M - p1m FROM dp)",
+      "re AS MATERIALIZED (SELECT reu.* FROM reu JOIN dem t ON t.ix = reu.tx AND t.iy = reu.ty " +
+        "WHERE reu.pm > 0)",
+      s"mbase AS (SELECT ix, iy, cast(${loadME(DuckD)} as bigint) * $M AS load, " +
+        s"cast(${effME(DuckD)} as bigint) AS eff FROM dem)",
+      duckMassRoute(routeRounds)) +
+      s"SELECT ix, iy, cast(flux as double) / $M.0e0 AS mass_flux FROM mr$routeRounds ORDER BY ix, iy"),
 
     "flow_length_diff" -> (Wd(
       "fpw AS (SELECT ix AS sx, iy AS sy, ix AS cx, iy AS cy, " +

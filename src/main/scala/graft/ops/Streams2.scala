@@ -156,6 +156,25 @@ object Streams2 {
         .select("ix", "iy").orderBy("ix", "iy")
     }),
 
+    // StreamLinkClass (stream_link_class.rs:245-365): 3 = channel head,
+    // 4 = junction, 5 = outlet (overrides), 1 = exterior-link cell (its
+    // link contains a head), 2 = interior-link cell.
+    "stream_link_class" -> ((s, dir) => {
+      val lk = Dem.links(s, dir)
+      val ext = lk.join(Dem.heads(s, dir), Seq("ix", "iy"), "left_semi")
+        .select("link_id").distinct().withColumn("is_ext", lit(1))
+      Dem.streams(s, dir)
+        .join(Dem.outlets(s, dir).withColumn("is_out", lit(1)), Seq("ix", "iy"), "left")
+        .join(Dem.heads(s, dir).withColumn("is_h", lit(1)), Seq("ix", "iy"), "left")
+        .join(Dem.indeg(s, dir), Seq("ix", "iy"), "left")
+        .join(lk, Seq("ix", "iy"))
+        .join(ext, Seq("link_id"), "left")
+        .selectExpr("ix", "iy",
+          "CASE WHEN is_out = 1 THEN 5 WHEN coalesce(n_in, 0) >= 2 THEN 4 " +
+            "WHEN is_h = 1 THEN 3 WHEN is_ext = 1 THEN 1 ELSE 2 END AS link_class")
+        .orderBy("ix", "iy")
+    }),
+
     "total_length_channels" -> ((s, dir) =>
       Dem.sedges(s, dir)
         .agg(expr("cast(sum(ec) as bigint)").as("sc"), expr("cast(sum(ed) as bigint)").as("sd"))
@@ -270,6 +289,17 @@ object Streams2 {
         s"WHERE coalesce(ll.link_len, 0.0e0) < $minLinkLen)") +
       "SELECT lk.ix, lk.iy FROM lk LEFT JOIN shrt sh ON sh.link_id = lk.link_id " +
       "WHERE sh.link_id IS NULL ORDER BY ix, iy"),
+
+    "stream_link_class" -> (W(Dem.duckLinkCtes,
+      "ext AS (SELECT DISTINCT lk.link_id FROM lk JOIN heads h ON h.ix = lk.ix AND h.iy = lk.iy)") +
+      "SELECT st.ix, st.iy, CASE WHEN o.ix IS NOT NULL THEN 5 " +
+      "WHEN coalesce(ind.n_in, 0) >= 2 THEN 4 WHEN h.ix IS NOT NULL THEN 3 " +
+      "WHEN ext.link_id IS NOT NULL THEN 1 ELSE 2 END AS link_class FROM st " +
+      "LEFT JOIN outlets o ON o.ix = st.ix AND o.iy = st.iy " +
+      "LEFT JOIN heads h ON h.ix = st.ix AND h.iy = st.iy " +
+      "LEFT JOIN indeg ind ON ind.ix = st.ix AND ind.iy = st.iy " +
+      "JOIN lk ON lk.ix = st.ix AND lk.iy = st.iy " +
+      "LEFT JOIN ext ON ext.link_id = lk.link_id ORDER BY 1, 2"),
 
     "total_length_channels" -> (W() +
       s"SELECT ${lenOf("cast(sum(ec) as bigint)", "cast(sum(ed) as bigint)")} AS total_len FROM se")

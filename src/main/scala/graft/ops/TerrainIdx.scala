@@ -101,6 +101,18 @@ object TerrainIdx {
     "relative_aspect" -> ((s, dir) =>
       fxz(s, dir).selectExpr("ix", "iy", raE).orderBy("ix", "iy")),
 
+    // SlopeVsElevationPlot (terrain_analysis/slope_vs_elevation_plot.rs):
+    // the 2-D (slope band, elevation decile) histogram of the atlas plot.
+    "slope_vs_elevation_plot" -> ((s, dir) => {
+      val g = Dem.dem(s, dir)
+      val mm = g.agg(min("z").as("zmn"), max("z").as("zmx"))
+      fxz(s, dir).join(g, Seq("ix", "iy")).crossJoin(broadcast(mm))
+        .selectExpr("cast(floor(sd / 5.0e0) as bigint) AS slope_band",
+          "(z - zmn) * 10 div (zmx - zmn + 1) AS elev_bin")
+        .groupBy("slope_band", "elev_bin").agg(count(lit(1)).as("n"))
+        .orderBy("slope_band", "elev_bin")
+    }),
+
     "standard_deviation_of_slope" -> ((s, dir) => {
       val q = fxz(s, dir)
         .selectExpr("ix", "iy", "cast(round(sd * 1.0e6) as bigint) AS si")
@@ -155,6 +167,13 @@ object TerrainIdx {
 
     "relative_aspect" -> (s"WITH RECURSIVE ${Dem.duckDemCtes}, $duckFxz " +
       s"SELECT ix, iy, $raE FROM fxz ORDER BY ix, iy"),
+
+    "slope_vs_elevation_plot" -> (s"WITH RECURSIVE ${Dem.duckDemCtes}, $duckFxz, " +
+      "mm AS (SELECT min(z) AS zmn, max(z) AS zmx FROM dem) " +
+      "SELECT cast(floor(f.sd / 5.0e0) as bigint) AS slope_band, " +
+      "(d.z - mm.zmn) * 10 // (mm.zmx - mm.zmn + 1) AS elev_bin, count(*) AS n " +
+      "FROM fxz f JOIN dem d ON d.ix = f.ix AND d.iy = f.iy, mm " +
+      "GROUP BY 1, 2 ORDER BY slope_band, elev_bin"),
 
     "standard_deviation_of_slope" -> (s"WITH RECURSIVE ${Dem.duckDemCtes}, $duckFxz, " +
       "qs AS (SELECT ix, iy, cast(round(sd * 1.0e6) as bigint) AS si FROM fxz), " +
