@@ -120,6 +120,26 @@ object HydroFill {
         .select("ix", "iy", "hs").orderBy("ix", "iy")
     }),
 
+    // StrahlerBasins (strahler_basins.rs:258-320): the head-walk order
+    // tracing reproduces per-stream-cell Strahler order; every cell then
+    // takes the order of the first stream cell on its flow path — i.e.
+    // subbasins labelled by Strahler order.
+    "strahler_basins" -> ((s, dir) => {
+      val st = Dem.streams(s, dir)
+      val p0 = Dem.dd(s, dir)
+        .join(st.withColumn("is_st", lit(1)), Seq("ix", "iy"), "left")
+        .selectExpr("ix", "iy",
+          "CASE WHEN is_st = 1 OR dir < 0 THEN ix ELSE tx END AS rx",
+          "CASE WHEN is_st = 1 OR dir < 0 THEN iy ELSE ty END AS ry")
+      val rooted = Dem.converge(p0, 64, 1, "strahler_basins") { p =>
+        p.join(p.selectExpr("ix AS rx", "iy AS ry", "rx AS rx2", "ry AS ry2"), Seq("rx", "ry"))
+          .selectExpr("ix", "iy", "rx2 AS rx", "ry2 AS ry")
+      }
+      rooted.join(Dem.strahler(s, dir).selectExpr("ix AS rx", "iy AS ry", "ord"), Seq("rx", "ry"))
+        .selectExpr("ix", "iy", "ord AS basin_order")
+        .orderBy("ix", "iy")
+    }),
+
     "subbasins" -> ((s, dir) => {
       val st = Dem.streams(s, dir)
       val p0 = Dem.dd(s, dir)
@@ -206,6 +226,14 @@ object HydroFill {
         "LEFT JOIN st s2 ON s2.ix = w.cx AND s2.iy = w.cy WHERE s2.ix IS NULL)") +
       "SELECT w.sx AS ix, w.sy AS iy, hl.hs FROM hwalk2 w " +
       "JOIN hl ON hl.ix = w.cx AND hl.iy = w.cy ORDER BY ix, iy"),
+
+    "strahler_basins" -> (W(Dem.duckStrahlerCtes,
+      "sbw2 AS (SELECT dd.ix AS sx, dd.iy AS sy, dd.ix AS cx, dd.iy AS cy FROM dd " +
+        "UNION ALL SELECT w.sx, w.sy, dd.tx, dd.ty FROM sbw2 w " +
+        "JOIN dd ON dd.ix = w.cx AND dd.iy = w.cy AND dd.dir >= 0 " +
+        "LEFT JOIN st s2 ON s2.ix = w.cx AND s2.iy = w.cy WHERE s2.ix IS NULL)") +
+      s"SELECT w.sx AS ix, w.sy AS iy, o.ord AS basin_order FROM sbw2 w " +
+      s"JOIN o${Dem.strahlerRounds} o ON o.ix = w.cx AND o.iy = w.cy ORDER BY ix, iy"),
 
     "subbasins" -> (W(Dem.duckLinkCtes,
       "sbwalk AS (SELECT dd.ix AS sx, dd.iy AS sy, dd.ix AS cx, dd.iy AS cy FROM dd " +

@@ -134,6 +134,40 @@ object Lidar2 {
         .orderBy("doc_id")
     }),
 
+    // NormalVectors (normal_vectors.rs): per-point plane fit over the
+    // radius neighbourhood (point included); coordinates quantized to
+    // integer micro-degrees so the normal-equation SUMS are exact, Cramer
+    // solved in doubles (fixed scalar op order); < 3 neighbours or a
+    // singular system -> the vertical normal (reference nodata analogue).
+    "lidar_normal_vectors" -> ((s, dir) => {
+      import Lit.{d => L}
+      val p = pts(s, dir)
+        .selectExpr("id", "x", "y", "z",
+          "cast(round(x * 1.0e6) as bigint) AS qx", "cast(round(y * 1.0e6) as bigint) AS qy")
+        .withColumn("bx", expr(s"cast(floor(x / ${L(radius)}) as bigint)"))
+        .withColumn("by", expr(s"cast(floor(y / ${L(radius)}) as bigint)"))
+      val probes = p
+        .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+        .select(col("id"), col("x"), col("y"),
+          (col("bx") + col("dx")).as("nbx"), (col("by") + col("dy")).as("nby"))
+      val sums = probes.join(
+          p.selectExpr("qx AS nqx", "qy AS nqy", "z AS nz", "x AS nx", "y AS ny",
+            "bx AS nbx", "by AS nby"),
+          Seq("nbx", "nby"))
+        .filter(expr(s"(nx - x) * (nx - x) + (ny - y) * (ny - y) <= $r2"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(nqx) as bigint)").as("sx"), expr("cast(sum(nqy) as bigint)").as("sy"),
+          expr("cast(sum(nqx * nqx) as bigint)").as("sxx"),
+          expr("cast(sum(nqy * nqy) as bigint)").as("syy"),
+          expr("cast(sum(nqx * nqy) as bigint)").as("sxy"),
+          expr("cast(sum(nz) as bigint)").as("sz"),
+          expr("cast(sum(nqx * nz) as bigint)").as("sxz"),
+          expr("cast(sum(nqy * nz) as bigint)").as("syz"))
+      sums.selectExpr(Seq("id AS doc_id") ++ normalSelect: _*).orderBy("doc_id")
+    }),
+
     "lidar_histogram" -> ((s, dir) =>
       pts(s, dir)
         .selectExpr("id", "z", s"(z div $binW) AS bin")
@@ -142,7 +176,40 @@ object Lidar2 {
         .orderBy("bin"))
   )
 
+  /** normal = (-b, -c, 1)/|..| from the double-Cramer plane slopes. */
+  private def normalSelect: Seq[String] = {
+    val det = "(cast(n as double) * (cast(sxx as double) * cast(syy as double) - cast(sxy as double) * cast(sxy as double)) " +
+      "- cast(sx as double) * (cast(sx as double) * cast(syy as double) - cast(sxy as double) * cast(sy as double)) " +
+      "+ cast(sy as double) * (cast(sx as double) * cast(sxy as double) - cast(sxx as double) * cast(sy as double)))"
+    val detB = "(cast(n as double) * (cast(sxz as double) * cast(syy as double) - cast(sxy as double) * cast(syz as double)) " +
+      "- cast(sz as double) * (cast(sx as double) * cast(syy as double) - cast(sxy as double) * cast(sy as double)) " +
+      "+ cast(sy as double) * (cast(sx as double) * cast(syz as double) - cast(sxz as double) * cast(sy as double)))"
+    val detC = "(cast(n as double) * (cast(sxx as double) * cast(syz as double) - cast(sxz as double) * cast(sxy as double)) " +
+      "- cast(sx as double) * (cast(sx as double) * cast(syz as double) - cast(sxz as double) * cast(sy as double)) " +
+      "+ cast(sz as double) * (cast(sx as double) * cast(sxy as double) - cast(sxx as double) * cast(sy as double)))"
+    val b = s"($detB / $det * 1.0e6)"
+    val c = s"($detC / $det * 1.0e6)"
+    val mag = s"sqrt(($b) * ($b) + ($c) * ($c) + 1.0e0)"
+    Seq(
+      s"CASE WHEN n >= 3 AND $det <> 0.0e0 THEN round(-($b) / ($mag), 6) ELSE 0.0e0 END AS nx_",
+      s"CASE WHEN n >= 3 AND $det <> 0.0e0 THEN round(-($c) / ($mag), 6) ELSE 0.0e0 END AS ny_",
+      s"CASE WHEN n >= 3 AND $det <> 0.0e0 THEN round(1.0e0 / ($mag), 6) ELSE 1.0e0 END AS nz_")
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "lidar_normal_vectors" ->
+      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)}, " +
+        "qp AS (SELECT id, x, y, z, cast(round(x * 1.0e6) as bigint) AS qx, " +
+        "cast(round(y * 1.0e6) as bigint) AS qy FROM pts), " +
+        "sums AS (SELECT a.id, count(*) AS n, " +
+        "cast(sum(b.qx) as bigint) AS sx, cast(sum(b.qy) as bigint) AS sy, " +
+        "cast(sum(b.qx * b.qx) as bigint) AS sxx, cast(sum(b.qy * b.qy) as bigint) AS syy, " +
+        "cast(sum(b.qx * b.qy) as bigint) AS sxy, cast(sum(b.z) as bigint) AS sz, " +
+        "cast(sum(b.qx * b.z) as bigint) AS sxz, cast(sum(b.qy * b.z) as bigint) AS syz " +
+        "FROM qp a JOIN qp b " +
+        s"ON (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) <= $r2 GROUP BY a.id) " +
+        s"SELECT id AS doc_id, ${normalSelect.mkString(", ")} FROM sums ORDER BY doc_id"),
 
     "lidar_point_density" ->
       (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)}, " +
