@@ -208,6 +208,36 @@ object Hydro4 {
         .selectExpr("ix", "iy", "link_id", s"${lenOf("nc", "nd")} AS dist", "z")
         .orderBy("ix", "iy")),
 
+    // LongProfileFromPoints (long_profile_from_points.rs): the profile
+    // table for the D8 paths from the seed points — one row per (seed,
+    // path cell) with the cell's distance-to-terminal and elevation (the
+    // reference plots dist vs z; distance-to-terminal is the same profile
+    // axis reversed, doc'd).
+    "long_profile_from_points" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val seeds = Seq((10L, 40L, 1L), (30L, 8L, 2L), (44L, 20L, 4L)).toDF("ix", "iy", "bit")
+      val ddf = Dem.dd(s, dir)
+      val init = ddf.select("ix", "iy")
+        .join(seeds, Seq("ix", "iy"), "left")
+        .selectExpr("ix", "iy", "coalesce(bit, 0) AS m")
+      val marked = Dem.converge(init, 200, 8, "long_profile_pts") { cur =>
+        val down = cur.filter(col("m") > 0)
+          .join(ddf.filter(col("dir") >= 0), Seq("ix", "iy"))
+          .groupBy(col("tx").as("ix"), col("ty").as("iy"))
+          .agg(expr("cast(bit_or(m) as bigint)").as("m2"))
+        cur.join(down, Seq("ix", "iy"), "left")
+          .selectExpr("ix", "iy", "cast(m | coalesce(m2, 0) as bigint) AS m")
+      }
+      marked.filter(col("m") > 0)
+        .withColumn("bit", explode(typedLit(Seq(1L, 2L, 4L))))
+        .filter(expr("(m & bit) > 0"))
+        .join(downLen(s, dir), Seq("ix", "iy"))
+        .join(Dem.dem(s, dir), Seq("ix", "iy"))
+        .selectExpr("bit AS seed_bit", "ix", "iy", s"${lenOf("nc", "nd")} AS dist", "z")
+        .orderBy("seed_bit", "ix", "iy")
+    }),
+
     "rasterize_streams" -> ((s, dir) =>
       Dem.dem(s, dir).select("ix", "iy")
         .join(Dem.links(s, dir), Seq("ix", "iy"), "left")
@@ -320,6 +350,21 @@ object Hydro4 {
       s"SELECT lk.ix, lk.iy, lk.link_id, ${lenOf("dw.nc", "dw.nd")} AS dist, d.z " +
       "FROM lk JOIN dwalk dw ON dw.ix = lk.ix AND dw.iy = lk.iy " +
       "JOIN dem d ON d.ix = lk.ix AND d.iy = lk.iy ORDER BY 1, 2"),
+
+    "long_profile_from_points" -> (Wd(
+      "seeds AS (SELECT * FROM (VALUES (10, 40, 1), (30, 8, 2), (44, 20, 4)) r(ix, iy, bit))",
+      "pw2 AS (SELECT s.bit, s.ix AS cx, s.iy AS cy FROM seeds s " +
+        "UNION SELECT w.bit, dd.tx, dd.ty FROM pw2 w " +
+        "JOIN dd ON dd.ix = w.cx AND dd.iy = w.cy AND dd.dir >= 0)",
+      "fpw2 AS (SELECT ix AS sx, iy AS sy, ix AS cx, iy AS cy, " +
+        "cast(0 as bigint) AS nc, cast(0 as bigint) AS nd FROM dd " +
+        "UNION ALL SELECT p.sx, p.sy, e.tx, e.ty, p.nc + e.ec, p.nd + e.ed " +
+        "FROM fpw2 p JOIN e ON e.ix = p.cx AND e.iy = p.cy)",
+      s"dl2 AS (SELECT sx AS ix, sy AS iy, ${lenOf("max(nc)", "max(nd)")} AS dist " +
+        "FROM fpw2 GROUP BY 1, 2)") +
+      "SELECT w.bit AS seed_bit, w.cx AS ix, w.cy AS iy, dl2.dist, d.z " +
+      "FROM pw2 w JOIN dl2 ON dl2.ix = w.cx AND dl2.iy = w.cy " +
+      "JOIN dem d ON d.ix = w.cx AND d.iy = w.cy ORDER BY seed_bit, ix, iy"),
 
     "rasterize_streams" -> (W(Dem.duckLinkCtes) +
       "SELECT d.ix, d.iy, coalesce(lk.link_id, 0) AS stream_link " +
