@@ -69,7 +69,9 @@ object Cost {
       val init = Dem.dem(s, dir)
         .join(sources(s, dir), Seq("ix", "iy"), "left")
         .selectExpr("ix", "iy", s"CASE WHEN src IS NOT NULL THEN 0.0e0 ELSE $BIG END AS acc")
-      Dem.converge(init, 200, 8, "cost_distance") { cur =>
+      // cap = twin unroll (costRounds) + checkEvery: passes iff the state
+      // converged within the twin's 64-round unroll (ADVICE r4 parity rule)
+      Dem.converge(init, costRounds + 8, 8, "cost_distance") { cur =>
         val cand = we
           .join(cur.selectExpr("ix AS ux", "iy AS uy", "acc AS au"), Seq("ux", "uy"))
           .selectExpr("vx AS ix", "vy AS iy", "au + w AS c")

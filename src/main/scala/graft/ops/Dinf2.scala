@@ -97,8 +97,12 @@ object Dinf2 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // route caps below = twin unroll + checkEvery(8): converge() detects a
+    // fixpoint one check-block after the state stops changing, so these
+    // caps pass iff convergence happened within the twin's unrolled rounds
+    // (ADVICE r4 parity rule — a deeper corpus fails loudly, not silently).
     "dinf_flow_accum" -> ((s, dir) =>
-      route(s, dir, dinfEdges(s, dir), "dinf_accum")
+      route(s, dir, dinfEdges(s, dir), "dinf_accum", maxRounds = routeRounds + 8)
         .selectExpr("ix", "iy", s"cast(flux as double) / $M.0e0 AS fa_dinf")
         .orderBy("ix", "iy")),
 
@@ -106,7 +110,7 @@ object Dinf2 {
       // FD8 routes along EVERY descending edge: its DAG depth is the
       // longest strictly-descending path (measured 140 on the fixture),
       // far beyond the D8 flow-path bound — hence the larger round cap
-      route(s, dir, fd8Edges(s, dir), "fd8_accum", maxRounds = 240)
+      route(s, dir, fd8Edges(s, dir), "fd8_accum", maxRounds = fd8Rounds + 8)
         .selectExpr("ix", "iy", s"cast(flux as double) / $M.0e0 AS fa_fd8")
         .orderBy("ix", "iy")),
 
@@ -124,7 +128,7 @@ object Dinf2 {
       val init = base.join(nin, Seq("ix", "iy"), "left")
         .selectExpr("ix", "iy", "load", "eff",
           "CASE WHEN n_in IS NULL THEN load END AS flux")
-      Dem.converge(init, 96, 8, "dinf_mass_flux") { cur =>
+      Dem.converge(init, routeRounds + 8, 8, "dinf_mass_flux") { cur =>
         val inflow = e.join(cur, Seq("ix", "iy"))
           .selectExpr("tx", "ty", "CASE WHEN flux IS NULL THEN 1 ELSE 0 END AS nn",
             s"(((flux * eff) div 100) * pm) div $M AS part")

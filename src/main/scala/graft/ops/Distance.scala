@@ -27,13 +27,20 @@ import org.apache.spark.sql.functions._
   *      dense, and only the few genuinely remote cells carry larger
   *      rings), then ONE hash aggregate takes the exact min packed key.
   *
-  * EXACTNESS: let C1 be an occupied coarse cell nearest (euclidean, coarse
-  * units) to the cell's coarse cell C0, d² its distance, kc = ⌊√d²⌋ ≥
-  * cheb(C0, C1). Any source in a coarse cell with cheb > kc + 1 is at fine
-  * Chebyshev ≥ (kc+1)·B, while some source in C1 is at fine Chebyshev
-  * ≤ (kc+1)·B − 1 < that. So the kr = kc + 1 coarse neighbourhood provably
-  * contains the true nearest source. Ties broken by min (d², source id)
-  * via one packed integer key — deterministic in both engines.
+  * EXACTNESS (round-5 corrected bound — the round-4 kr = ⌊√d²⌋ + 1 proved
+  * ordering under fine CHEBYSHEV distance while the transform minimizes
+  * fine EUCLIDEAN distance, and was unsound on general data): let C1 be an
+  * occupied coarse cell nearest (euclidean, coarse units) to the cell's
+  * coarse cell C0 and d² its squared coarse distance. Some source in C1 is
+  * at fine euclidean distance ≤ √(((|dx|+1)B−1)² + ((|dy|+1)B−1)²)
+  * ≤ B·(√d² + √2)  (since √((a+1)²+(b+1)²) ≤ √(a²+b²) + √2). Any source in
+  * a coarse cell at coarse Chebyshev c > kr has every fine axis offset
+  * ≥ (c−1)·B + 1, hence fine euclidean ≥ kr·B + 1. With
+  * kr = ⌊√d²⌋ + 3 ≥ √d² + √2 we get kr·B + 1 > B·(√d² + √2), so every
+  * source outside the kr neighbourhood is strictly farther than the best
+  * inside it — the kr ring provably contains the true nearest source.
+  * Ties broken by min (d², source id) via one packed integer key —
+  * deterministic in both engines.
   */
 object Distance {
 
@@ -108,7 +115,7 @@ object Distance {
     // coarse pass: exact nearest occupied coarse cell → per-cell radius
     val kr = ringNearest(spark, cellsC, occC, spanC)
       .selectExpr("ix AS cx", "iy AS cy",
-        "cast(floor(sqrt(cast(key div 4294967296 as double))) as bigint) + 1 AS kr")
+        "cast(floor(sqrt(cast(key div 4294967296 as double))) as bigint) + 3 AS kr")
       .localCheckpoint()
     // refine: sources of the kr-neighbourhood coarse cells, one exact min
     grid.selectExpr("ix", "iy", s"ix div $B AS cx", s"iy div $B AS cy")
@@ -148,9 +155,11 @@ object Distance {
       s"g AS (SELECT ${Geo.ix(d, "lon", 6)} AS ix, ${Geo.iy(d, "lat", 6)} AS iy, " +
       "count(*) AS v FROM pages GROUP BY 1, 2), " +
       s"srcs AS (SELECT ix AS sx, iy AS sy, v AS sv FROM g WHERE $srcCond), " +
+      // LEFT JOIN ON true so a source-free grid yields every cell with a
+      // NULL key (matching the Spark nullOut path) instead of zero rows.
       "b AS (SELECT c.ix, c.iy, " +
       "min(((c.ix - sx) * (c.ix - sx) + (c.iy - sy) * (c.iy - sy)) * 4294967296 + (sx * 1000000 + sy)) AS key " +
-      "FROM g c, srcs GROUP BY 1, 2)"
+      "FROM g c LEFT JOIN srcs ON true GROUP BY 1, 2)"
 
   def oracles: Map[String, String] = Map(
     "euclidean_distance" ->

@@ -106,7 +106,8 @@ object Hydro4 {
       val init = g.join(nin, Seq("ix", "iy"), "left")
         .selectExpr("ix", "iy", "load", "eff",
           "CASE WHEN n_in IS NULL THEN load END AS flux")
-      Dem.converge(init, 96, 4, "mass_flux") { cur =>
+      // cap = twin unroll (fluxRounds) + checkEvery (ADVICE r4 parity rule)
+      Dem.converge(init, fluxRounds + 4, 4, "mass_flux") { cur =>
         val inflow = e.join(cur, Seq("ix", "iy"))
           .selectExpr("tx", "ty", "CASE WHEN flux IS NULL THEN 1 ELSE 0 END AS nn",
             "(flux * eff) div 100 AS outflow")

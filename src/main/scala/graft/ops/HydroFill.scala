@@ -45,7 +45,12 @@ object HydroFill {
       val nbr = Dem.halo(g).select("ix", "iy", "nix", "niy").localCheckpoint()
       val init = g.selectExpr("ix", "iy", "z",
         s"CASE WHEN $borderE THEN cast(z as double) ELSE 1.0e18 END AS f")
-      Dem.converge(init, 200, 8, "fill_depressions") { cur =>
+      // cap = twin unroll (fillRounds) + checkEvery: converge() detects a
+      // fixpoint one check-block AFTER the state stops changing, so this
+      // cap passes iff convergence happened within the twin's unroll —
+      // a data/scale change that needs more rounds fails loudly instead
+      // of silently out-running the oracle's unrolled state (ADVICE r4).
+      Dem.converge(init, fillRounds + 8, 8, "fill_depressions") { cur =>
         val nmin = nbr
           .join(cur.selectExpr("ix AS nix", "iy AS niy", "f AS nf"), Seq("nix", "niy"))
           .groupBy("ix", "iy").agg(min("nf").as("mn"))

@@ -116,12 +116,15 @@ object Morph2 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // caps = twin unroll + 1: iterate() detects the fixpoint one round
+    // after erasure stops, so each cap passes iff convergence happened
+    // within the twin's unrolled rounds (ADVICE r4 parity rule).
     "line_thinning" -> ((s, dir) =>
-      iterate(s, mask4(s, dir), spur = false, 16, "line_thinning")
+      iterate(s, mask4(s, dir), spur = false, 11, "line_thinning")
         .orderBy("ix", "iy")),
 
     "remove_spurs" -> ((s, dir) =>
-      iterate(s, mask4(s, dir), spur = true, 16, "remove_spurs")
+      iterate(s, mask4(s, dir), spur = true, 9, "remove_spurs")
         .orderBy("ix", "iy")),
 
     // thicken_line.rs:192-211 synchronous single pass: a background cell
@@ -145,7 +148,7 @@ object Morph2 {
     }),
 
     "find_ridges" -> ((s, dir) =>
-      iterate(s, ridgeMask(s, dir), spur = false, 16, "find_ridges")
+      iterate(s, ridgeMask(s, dir), spur = false, 7, "find_ridges")
         .orderBy("ix", "iy"))
   )
 

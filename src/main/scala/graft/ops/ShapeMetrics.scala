@@ -165,7 +165,7 @@ object ShapeMetrics {
   /** Jarvis-march hull per ring over the literal vertices, + calipers MBB
     * axes, + exhaustive circle candidates (HardOracles structural twins,
     * re-keyed to (fid, ring_id) via k = fid·10 + ring_id). */
-  private def hullMetricsDuck: String = {
+  private def hullCtes: String = {
     def cross(wx: String, wy: String, ux: String, uy: String) =
       s"($wx - h.vx) * ($uy - h.vy) - ($ux - h.vx) * ($wy - h.vy)"
     val sq = "ax * ax + ay * ay"
@@ -223,7 +223,14 @@ object ShapeMetrics {
       "cover AS (SELECT c.k, ccx, ccy, " +
       "max((vx - ccx) * (vx - ccx) + (vy - ccy) * (vy - ccy)) AS r2 " +
       "FROM cands c JOIN hv h ON h.k = c.k GROUP BY 1, 2, 3), " +
-      "mc AS (SELECT k, min(r2) AS r2 FROM cover GROUP BY k) " +
+      "mc AS (SELECT k, min(r2) AS r2 FROM cover GROUP BY k) "
+  }
+
+  /** shared CTE prefix + per-query final SELECT (no substring surgery —
+    * ADVICE r4: splicing by lastIndexOf of a literal fragment breaks
+    * silently-at-oracle-build-time if the projection is ever reworded). */
+  private def hullMetricsDuck: String =
+    hullCtes +
       "SELECT cast(k // 10 as int) AS fid, cast(k % 10 as int) AS ring_id, " +
       "cast(hull_n as int) AS hull_n, " +
       "round(1.0e0 - shortx / longx, 6) AS elongation, " +
@@ -231,7 +238,6 @@ object ShapeMetrics {
       "round(1.0e0 - area / ha, 6) AS sci " +
       "FROM hn JOIN harea USING (k) JOIN mbb USING (k) JOIN mc USING (k) JOIN rarea USING (k) " +
       "ORDER BY fid, ring_id"
-  }
 
   // ---- wiring --------------------------------------------------------------
 
@@ -308,11 +314,8 @@ object ShapeMetrics {
   )
 
   /** reuse the hull/calipers CTE chain, swapping the final projection. */
-  private def axisDuck(pick: String, as: String): String = {
-    val base = hullMetricsDuck
-    val cut = base.lastIndexOf("SELECT cast(k // 10 as int) AS fid")
-    base.substring(0, cut) +
+  private def axisDuck(pick: String, as: String): String =
+    hullCtes +
       s"SELECT cast(k // 10 as int) AS fid, cast(k % 10 as int) AS ring_id, " +
       s"round($pick, 6) AS $as FROM mbb ORDER BY fid, ring_id"
-  }
 }
