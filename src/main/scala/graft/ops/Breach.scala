@@ -55,7 +55,7 @@ object Breach {
     * ground; 12 resolves all of them (prototype-measured). */
   private val maxLen = 12
 
-  /** twin unroll; relaxation measured converged ≤ 13 rounds at both
+  /** twin unroll; relaxation measured converged ≤ 14 rounds at both
     * fixture scales. */
   private val breachRounds = 16
 
@@ -86,8 +86,18 @@ object Breach {
       import sp.implicits._
       val offs = (for { dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0 }
         yield (dx, dy)).toDF("dx", "dy")
-      // cap = twin unroll + checkEvery (round-4 parity rule)
-      Dem.converge(init, breachRounds + 4, 4, "breach_depressions") { cur =>
+      val init0 = Dem.fresh(init)
+      // VALUE ITERATION — next = min(init, proposals(cur)), NOT
+      // min(cur, proposals(cur)): retaining cur can leave a STALE key
+      // whose stored predecessor later improved to a hop count that
+      // breaks strict descent (the hop cap lets a lexicographic
+      // improvement RAISE hops), making the backlink walk cycle. With
+      // the pure-proposal step every fixpoint key is derived from a
+      // FINAL neighbour state, so hops(pred) = hops − 1 exactly and the
+      // walk terminates in ≤ maxLen steps. Monotone decreasing from
+      // init (proposals shrink as states shrink), convergence asserted.
+      // cap = twin unroll + checkEvery (round-4 parity rule).
+      Dem.converge(init0, breachRounds + 4, 4, "breach_depressions") { cur =>
         val cand = cur
           .filter(expr(s"(key div $P30) % 1024 < $maxLen"))
           .crossJoin(broadcast(offs))
@@ -97,7 +107,7 @@ object Breach {
           .selectExpr("pid", "zp", "ix", "iy",
             s"((key div $P40) + greatest(0, zn - zp)) * $P40 + " +
               s"(((key div $P30) % 1024) + 1) * $P30 + (cx * $G + cy) AS key")
-        cur.select("pid", "zp", "ix", "iy", "key").unionByName(cand)
+        init0.select("pid", "zp", "ix", "iy", "key").unionByName(cand)
           .groupBy("pid", "zp", "ix", "iy").agg(min("key").as("key"))
       }
     }
@@ -163,7 +173,7 @@ object Breach {
     val rounds = (1 to breachRounds).map { r =>
       val p = s"s${r - 1}"
       s"s$r AS MATERIALIZED (SELECT pid, zp, ix, iy, min(key) AS key FROM (" +
-        s"SELECT pid, zp, ix, iy, key FROM $p " +
+        "SELECT pid, zp, ix, iy, key FROM s0 " + // value iteration: min(init, proposals)
         "UNION ALL " +
         s"SELECT s.pid, s.zp, d.ix, d.iy, " +
         s"((s.key // $P40) + greatest(0, d.z - s.zp)) * $P40 + " +

@@ -163,18 +163,22 @@ object Multiscale {
     * smaller scale (the reference's replace-only-on-greater loop). */
   private def foldCtes(col: String, scales: Seq[Int], from: String,
       nullable: Boolean): (String, String) = {
-    val init = s"${col}fold1 AS (SELECT *, ${col}_${scales.head} AS ${col}_m, " +
-      s"CASE WHEN ${col}_${scales.head} IS NOT NULL THEN ${scales.head} END AS ${col}_s FROM $from)"
+    // purely additive stages (mK/sK names) — `SELECT * EXCEPT` is
+    // Spark-only (DuckDB spells it EXCLUDE), so no column is ever dropped
+    val init = s"${col}fold1 AS (SELECT *, ${col}_${scales.head} AS ${col}_m1, " +
+      s"CASE WHEN ${col}_${scales.head} IS NOT NULL THEN ${scales.head} END AS ${col}_s1 FROM $from)"
     val steps = scales.tail.zipWithIndex.map { case (m, i) =>
-      val p = s"${col}fold${i + 1}"
+      val (pm, ps) = (s"${col}_m${i + 1}", s"${col}_s${i + 1}")
       val guard =
-        if (nullable) s"${col}_$m IS NOT NULL AND (${col}_m IS NULL OR ${col}_$m * ${col}_$m > ${col}_m * ${col}_m)"
-        else s"${col}_$m * ${col}_$m > ${col}_m * ${col}_m"
-      s"${col}fold${i + 2} AS (SELECT * EXCEPT (${col}_m, ${col}_s), " +
-        s"CASE WHEN $guard THEN ${col}_$m ELSE ${col}_m END AS ${col}_m, " +
-        s"CASE WHEN $guard THEN $m ELSE ${col}_s END AS ${col}_s FROM $p)"
+        if (nullable) s"${col}_$m IS NOT NULL AND ($pm IS NULL OR ${col}_$m * ${col}_$m > $pm * $pm)"
+        else s"${col}_$m * ${col}_$m > $pm * $pm"
+      s"${col}fold${i + 2} AS (SELECT *, " +
+        s"CASE WHEN $guard THEN ${col}_$m ELSE $pm END AS ${col}_m${i + 2}, " +
+        s"CASE WHEN $guard THEN $m ELSE $ps END AS ${col}_s${i + 2} FROM ${col}fold${i + 1})"
     }
-    ((init +: steps).mkString(", "), s"${col}fold${scales.size}")
+    val last = s"${col}last AS (SELECT *, ${col}_m${scales.size} AS ${col}_m, " +
+      s"${col}_s${scales.size} AS ${col}_s FROM ${col}fold${scales.size})"
+    (((init +: steps) :+ last).mkString(", "), s"${col}last")
   }
 
   // ---- the shared CTE body ---------------------------------------------
@@ -234,15 +238,18 @@ object Multiscale {
     val joined = s"rj AS (SELECT a.ix, a.iy, ${roughRadii.map(m => s"rg_$m").mkString(", ")} " +
       s"FROM rg${roughRadii.head} a " +
       roughRadii.tail.map(m => s"JOIN rg$m ON rg$m.ix = a.ix AND rg$m.iy = a.iy").mkString(" ") + ")"
-    // strict-> fold (roughness is nonnegative; reference compares raw values)
-    val init = s"rf1 AS (SELECT *, rg_${roughRadii.head} AS rg_m, ${roughRadii.head} AS rg_s FROM rj)"
+    // strict-> fold (roughness is nonnegative; reference compares raw
+    // values); additive stage names — no `* EXCEPT` (Spark-only syntax)
+    val init = s"rf1 AS (SELECT *, rg_${roughRadii.head} AS rg_m1, ${roughRadii.head} AS rg_s1 FROM rj)"
     val steps = roughRadii.tail.zipWithIndex.map { case (m, i) =>
-      s"rf${i + 2} AS (SELECT * EXCEPT (rg_m, rg_s), " +
-        s"CASE WHEN rg_$m > rg_m THEN rg_$m ELSE rg_m END AS rg_m, " +
-        s"CASE WHEN rg_$m > rg_m THEN $m ELSE rg_s END AS rg_s FROM rf${i + 1})"
+      s"rf${i + 2} AS (SELECT *, " +
+        s"CASE WHEN rg_$m > rg_m${i + 1} THEN rg_$m ELSE rg_m${i + 1} END AS rg_m${i + 2}, " +
+        s"CASE WHEN rg_$m > rg_m${i + 1} THEN $m ELSE rg_s${i + 1} END AS rg_s${i + 2} FROM rf${i + 1})"
     }
-    ((Seq(zd, n0, a0) ++ per ++ Seq(joined, init) ++ steps).mkString(", "),
-      s"rf${roughRadii.size}")
+    val last = s"rflast AS (SELECT *, rg_m${roughRadii.size} AS rg_m, " +
+      s"rg_s${roughRadii.size} AS rg_s FROM rf${roughRadii.size})"
+    ((Seq(zd, n0, a0) ++ per ++ Seq(joined, init) ++ steps :+ last).mkString(", "),
+      "rflast")
   }
 
   // ---- query SQL builders (dialect-free inner text) --------------------
