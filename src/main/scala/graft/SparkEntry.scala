@@ -48,7 +48,8 @@ object SparkEntry {
       graft.ops.Horizon.queries ++ graft.ops.Hydro4.queries ++
       graft.ops.Hydro5.queries ++ graft.ops.Dinf.queries ++
       graft.ops.Dinf2.queries ++ graft.ops.Terrain3.queries ++
-      graft.ops.Breach.queries ++ graft.ops.Multiscale.queries ++ Map(
+      graft.ops.Breach.queries ++ graft.ops.Multiscale.queries ++
+      graft.ops.Direction.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -174,7 +175,8 @@ object SparkEntry {
       graft.ops.Horizon.oracles ++ graft.ops.Hydro4.oracles ++
       graft.ops.Hydro5.oracles ++ graft.ops.Dinf.oracles ++
       graft.ops.Dinf2.oracles ++ graft.ops.Terrain3.oracles ++
-      graft.ops.Breach.oracles ++ graft.ops.Multiscale.oracles ++ Map(
+      graft.ops.Breach.oracles ++ graft.ops.Multiscale.oracles ++
+      graft.ops.Direction.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,
