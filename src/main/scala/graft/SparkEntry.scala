@@ -49,7 +49,8 @@ object SparkEntry {
       graft.ops.Hydro5.queries ++ graft.ops.Dinf.queries ++
       graft.ops.Dinf2.queries ++ graft.ops.Terrain3.queries ++
       graft.ops.Breach.queries ++ graft.ops.Multiscale.queries ++
-      graft.ops.Direction.queries ++ Map(
+      graft.ops.Direction.queries ++ graft.ops.Hydro6.queries ++
+      graft.ops.Singles.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -80,6 +81,13 @@ object SparkEntry {
             .selectExpr("ix * 1000000 + iy AS id",
               "cast(ix as double) AS x", "cast(iy as double) AS y")
           graft.ops.KMeans.kmeans(s, cells, k = 5).orderBy("id")
+        }),
+        "modified_kmeans_clustering" -> ((s: SparkSession, dir: String) => {
+          val cells = Raster.density(s, dir, 6)
+            .selectExpr("ix * 1000000 + iy AS id",
+              "cast(ix as double) AS x", "cast(iy as double) AS y")
+          graft.ops.KMeans.kmeansMerged(s, cells, k0 = 10, rounds = 10,
+            mergeD2 = 64.0).orderBy("id")
         }),
         "minimum_convex_hull" -> ((s: SparkSession, dir: String) => {
           val p = Tables.pages(s, dir)
@@ -176,9 +184,11 @@ object SparkEntry {
       graft.ops.Hydro5.oracles ++ graft.ops.Dinf.oracles ++
       graft.ops.Dinf2.oracles ++ graft.ops.Terrain3.oracles ++
       graft.ops.Breach.oracles ++ graft.ops.Multiscale.oracles ++
-      graft.ops.Direction.oracles ++ Map(
+      graft.ops.Direction.oracles ++ graft.ops.Hydro6.oracles ++
+      graft.ops.Singles.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
+        "modified_kmeans_clustering" -> graft.ops.HardOracles.modifiedKmeansSql(),
         "minimum_convex_hull" -> graft.ops.HardOracles.hullSql,
         "clump" -> graft.ops.HardOracles.clumpSql)
 

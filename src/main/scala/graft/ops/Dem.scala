@@ -113,14 +113,39 @@ object Dem {
         col("dx"), col("dy"), col("nz"), col("nix"), col("niy"))
 
   // reference direction order (d8_pointer.rs): i → (dx, dy)
-  private val dirs: Seq[(Int, Int, Int)] =
+  private[ops] val dirs: Seq[(Int, Int, Int)] =
     Seq((1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1))
       .zipWithIndex.map { case ((dx, dy), i) => (i, dx, dy) }
-  private val dirIdxE =
+  private[ops] val dirIdxE =
     dirs.map { case (i, dx, dy) => s"WHEN dx = $dx AND dy = $dy THEN $i" }
       .mkString("CASE ", " ", " END")
-  private val slopeE =
+  private[ops] val slopeE =
     s"cast(z - nz as double) / (CASE WHEN dx = 0 OR dy = 0 THEN 1.0e0 ELSE $sqrt2 END)"
+
+  /** D8 pointer of an arbitrary (ix, iy, z) surface — the dd() kernel
+    * reused by flow_accum_full_workflow over the FILLED surface. */
+  private[ops] def d8On(g: DataFrame): DataFrame = {
+    val h = halo(g)
+      .withColumn("dir", expr(dirIdxE))
+      .withColumn("slope", expr(slopeE))
+      .filter(col("slope") > 0.0)
+    val best = h.groupBy("ix", "iy")
+      .agg(expr("min_by(named_struct('dir', dir, 'tx', nix, 'ty', niy), " +
+        "named_struct('ns', -slope, 'd', dir))").as("b"))
+      .selectExpr("ix", "iy", "b.dir AS dir", "b.tx AS tx", "b.ty AS ty")
+    g.select("ix", "iy").join(best, Seq("ix", "iy"), "left")
+      .selectExpr("ix", "iy", "cast(coalesce(dir, -1) as bigint) AS dir", "tx", "ty")
+  }
+
+  /** fa fixpoint over arbitrary functional pointer edges. */
+  private[ops] def faOn(grid: DataFrame, edges: DataFrame, what: String): DataFrame =
+    converge(grid.selectExpr("ix", "iy", "cast(1 as bigint) AS fa"), 200, 4, what) { acc =>
+      val inflow = edges.join(acc, Seq("ix", "iy"))
+        .groupBy(col("tx").as("ix"), col("ty").as("iy"))
+        .agg(expr("cast(sum(fa) as bigint)").as("inflow"))
+      grid.join(inflow, Seq("ix", "iy"), "left")
+        .selectExpr("ix", "iy", "1 + coalesce(inflow, 0) AS fa")
+    }
 
   /** (ix, iy, dir, tx, ty): steepest positive descent, first-dir tie rule. */
   def dd(s: SparkSession, dir: String): DataFrame = memo(s, dir, "dd") {

@@ -22,6 +22,38 @@ object HardOracles {
     s"g AS (SELECT ${Geo.ix(DuckD, "lon", res)} AS ix, ${Geo.iy(DuckD, "lat", res)} AS iy, " +
       s"count(*) AS v FROM pages GROUP BY 1, 2)"
 
+  /** ModifiedKMeansClustering twin: kmeansSql's unrolled Lloyd rounds
+    * plus a per-round merge CTE — a centre is dropped when a
+    * lower-indexed surviving centre sits within √mergeD2 (the
+    * deterministic re-expression of modified_k_means_clustering.rs's
+    * greedy centre merging). */
+  def modifiedKmeansSql(k0: Int = 10, rounds: Int = 10, mergeD2: Double = 64.0): String = {
+    import graft.core.Lit.{d => L}
+    val init = "k0c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, x, y FROM " +
+      s"(SELECT id, x, y FROM cells ORDER BY id LIMIT $k0) t)"
+    val roundCtes = (1 to rounds).map { r =>
+      val p = if (r == 1) "k0c" else s"k${r - 1}"
+      s"d$r AS MATERIALIZED (SELECT id, p.x, p.y, c, (p.x - cx) * (p.x - cx) + (p.y - cy) * (p.y - cy) AS d2 " +
+        s"FROM cells p, (SELECT c, x AS cx, y AS cy FROM $p) cc), " +
+        s"m$r AS (SELECT id, min(d2) AS md FROM d$r GROUP BY id), " +
+        s"a$r AS MATERIALIZED (SELECT d.id, d.x, d.y, min(c) AS c FROM d$r d JOIN m$r m ON d.id = m.id AND d.d2 = m.md GROUP BY 1, 2, 3), " +
+        s"s$r AS (SELECT c, sum(x) / count(*) AS x, sum(y) / count(*) AS y FROM a$r GROUP BY c), " +
+        s"c$r AS MATERIALIZED (SELECT p.c, coalesce(s.x, p.x) AS x, coalesce(s.y, p.y) AS y FROM $p p LEFT JOIN s$r s ON p.c = s.c), " +
+        s"k$r AS MATERIALIZED (SELECT a.c, a.x, a.y FROM c$r a LEFT JOIN c$r b " +
+        s"ON b.c < a.c AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < ${L(mergeD2)} " +
+        "WHERE b.c IS NULL)"
+    }.mkString(", ")
+    val fin =
+      s"df AS MATERIALIZED (SELECT id, p.x, p.y, c, (p.x - cx) * (p.x - cx) + (p.y - cy) * (p.y - cy) AS d2 " +
+        s"FROM cells p, (SELECT c, x AS cx, y AS cy FROM k$rounds) cc), " +
+        "mf AS (SELECT id, min(d2) AS md FROM df GROUP BY id)"
+    s"$pagesWith, ${densityG(6)}, " +
+      "cells AS MATERIALIZED (SELECT ix * 1000000 + iy AS id, cast(ix as double) AS x, cast(iy as double) AS y FROM g), " +
+      s"$init, $roundCtes, $fin " +
+      "SELECT d.id, d.x, d.y, min(c) AS c FROM df d JOIN mf m ON d.id = m.id AND d.d2 = m.md " +
+      "GROUP BY 1, 2, 3 ORDER BY d.id"
+  }
+
   /** Unrolled Lloyd rounds twin of ops/KMeans.kmeans (k=5, 10 rounds,
     * first-k-by-id init, lowest-index ties, empty clusters keep their
     * previous centre). */
