@@ -177,7 +177,7 @@ object Lidar2 {
   )
 
   /** normal = (-b, -c, 1)/|..| from the double-Cramer plane slopes. */
-  private def normalSelect: Seq[String] = {
+  private[ops] def normalSelect: Seq[String] = {
     val det = "(cast(n as double) * (cast(sxx as double) * cast(syy as double) - cast(sxy as double) * cast(sxy as double)) " +
       "- cast(sx as double) * (cast(sx as double) * cast(syy as double) - cast(sxy as double) * cast(sy as double)) " +
       "+ cast(sy as double) * (cast(sx as double) * cast(sxy as double) - cast(sxx as double) * cast(sy as double)))"
