@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.core.Lit
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Polygonize (gis_analysis/polygonize.rs:47-49): "creates a polygon layer
+  * from two or more intersecting line features". The reference performs
+  * vector noding + face traversal — an inherently pointer-chasing planar
+  * subdivision walk. The scale-true re-expression used here is the
+  * raster-algebra form: SUPERCOVER-rasterize the line features onto the
+  * grid (per-column cell + the corner cell at each row step, so faces are
+  * sealed under 4-connectivity); the polygon faces are the 4-connected
+  * components of the non-line cells.
+  *
+  * The components are computed with the TWO-LEVEL distributed-CCL
+  * pattern (the production shape for connected components at scale):
+  * level 1 labels RUN-LENGTH INTERVALS per row — one window pass, fully
+  * distributed, O(cells); level 2 unions the CONTRACTED interval graph
+  * (one interval-overlap equi-join between adjacent rows, O(intervals)
+  * edges — the boundary graph, not the cell graph) with a deterministic
+  * min-label union-find over the collected O(intervals) edge list
+  * (bounded: intervals ≈ rows × faces-per-row ≪ cells; at 100× span
+  * this is the per-partition-local + global-merge CCL, the same
+  * contraction a tree-based distributed union-find performs). Face id =
+  * the component-minimal packed cell id — identical to a cell-level
+  * min-label CCL, which the DuckDB twin re-derives by transitive closure
+  * ON THE INTERVAL GRAPH (small), not the cell graph.
+  *
+  * Line features: the two deterministic intersecting diagonal wall
+  * segments shared with raise_walls (Hydro6).
+  */
+object Polygonize {
+
+  import Dem.G
+
+  /** Border-to-border intersecting segments (both x-dominant so the
+    * supercover is gap-free): open segments that end mid-grid enclose
+    * nothing — faces only form when the arrangement closes. */
+  private val walls = Seq((0L, 5L, 47L, 33L), (0L, 40L, 47L, 8L))
+
+  /** supercover cells of the wall segments: (x_t, y_t) plus the corner
+    * (x_t + 1, y_t) whenever y steps between columns. */
+  private def lineCellsSql: String =
+    walls.map { case (x0, y0, x1, y1) =>
+      val n = x1 - x0
+      val yAt = (t: String) =>
+        s"cast(floor(${Lit.d(y0.toDouble)} + cast(($t) * (${y1 - y0}) as double) / ${Lit.d(n.toDouble)}) as bigint)"
+      s"SELECT $x0 + t AS lx, ${yAt("t")} AS ly FROM ser WHERE t <= $n " +
+        s"UNION ALL SELECT $x0 + t + 1 AS lx, ${yAt("t")} AS ly FROM ser " +
+        s"WHERE t < $n AND ${yAt("t + 1")} <> ${yAt("t")}"
+    }.mkString(" UNION ALL ")
+
+  /** free cells + row-run intervals (shared text; `rn` via window). */
+  private def intervalCtes: String =
+    s"lc AS (SELECT DISTINCT lx, ly FROM ($lineCellsSql)), " +
+      "fc AS (SELECT d.ix, d.iy FROM dem d " +
+      "LEFT JOIN lc ON lc.lx = d.ix AND lc.ly = d.iy WHERE lc.lx IS NULL), " +
+      "runs AS (SELECT ix, iy, ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS rk FROM fc), " +
+      "iv AS (SELECT iy, rk, min(ix) AS lo, max(ix) AS hi, " +
+      "min(ix) * 1000000 + iy AS ivid FROM runs GROUP BY iy, rk), " +
+      "ive AS (SELECT a.ivid AS u, b.ivid AS v FROM iv a JOIN iv b " +
+      "ON b.iy = a.iy + 1 AND b.lo <= a.hi AND b.hi >= a.lo)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "polygonize" -> ((s, dir) => {
+      Dem.dem(s, dir).createOrReplaceTempView("dem")
+      val pre = s.sql(
+        s"WITH ser AS (SELECT explode(sequence(0, ${G - 1})) AS t), $intervalCtes " +
+          "SELECT iv.iy, iv.lo, iv.hi, iv.ivid, e.v FROM iv " +
+          "LEFT JOIN ive e ON e.u = iv.ivid").localCheckpoint()
+      // level 2: union-find on the contracted interval graph (bounded:
+      // O(intervals) rows collected, not O(cells))
+      val ivRows = pre.select("ivid").distinct()
+        .collect().map(_.getLong(0))
+      val edgeRows = pre.filter(col("v").isNotNull)
+        .select("ivid", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      ivRows.foreach(i => parent(i) = i)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edgeRows.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val mapping = ivRows.map(i => (i, find(i)))
+      val sp = s
+      import sp.implicits._
+      val mapDf = mapping.toSeq.toDF("ivid", "face_id")
+      pre.select("iy", "lo", "hi", "ivid").distinct() // pre is iv × edges
+        .join(broadcast(mapDf), Seq("ivid"))
+        .groupBy("face_id")
+        .agg(expr("cast(sum(hi - lo + 1) as bigint)").as("n_cells"),
+          min("lo").as("min_ix"), max("hi").as("max_ix"),
+          min("iy").as("min_iy"), max("iy").as("max_iy"))
+        .orderBy("face_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "polygonize" ->
+      (s"WITH RECURSIVE ${Dem.duckDemCtes}, " +
+        s"ser AS (SELECT unnest(range(0, $G)) AS t), $intervalCtes, " +
+        // closure on the SMALL interval graph (symmetric)
+        "ives AS (SELECT u, v FROM ive UNION ALL SELECT v, u FROM ive), " +
+        "reach AS (SELECT ivid AS s, ivid AS r FROM iv " +
+        "UNION SELECT rc.s, e.v FROM reach rc JOIN ives e ON e.u = rc.r), " +
+        "lab AS (SELECT s AS ivid, min(r) AS face_id FROM reach GROUP BY s) " +
+        "SELECT l.face_id, cast(sum(iv.hi - iv.lo + 1) as bigint) AS n_cells, " +
+        "min(iv.lo) AS min_ix, max(iv.hi) AS max_ix, " +
+        "min(iv.iy) AS min_iy, max(iv.iy) AS max_iy " +
+        "FROM iv JOIN lab l ON l.ivid = iv.ivid " +
+        "GROUP BY l.face_id ORDER BY l.face_id")
+  )
+}
