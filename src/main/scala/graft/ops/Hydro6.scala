@@ -211,6 +211,29 @@ object Hydro6 {
 
     "isobasins" -> ((s, dir) => isobasins(s, dir)),
 
+    // ElevRelativeToWatershedMinMax (terrain_analysis/
+    // elev_relative_to_watershed_min_max.rs): (z − min)/(max − min)
+    // within the cell's watershed — basins = terminal-rooted pointer
+    // components (pointer jumping), one min/max aggregate per basin.
+    "elev_relative_to_watershed_min_max" -> ((s, dir) => {
+      val d = Dem.dd(s, dir)
+      val p0 = d.selectExpr("ix", "iy",
+        "CASE WHEN dir < 0 THEN ix ELSE tx END AS rx",
+        "CASE WHEN dir < 0 THEN iy ELSE ty END AS ry")
+      val rooted = Dem.converge(p0, 64, 1, "ws_minmax_roots") { p =>
+        p.join(p.selectExpr("ix AS rx", "iy AS ry", "rx AS rx2", "ry AS ry2"), Seq("rx", "ry"))
+          .selectExpr("ix", "iy", "rx2 AS rx", "ry2 AS ry")
+      }
+      val withZ = rooted.join(Dem.dem(s, dir), Seq("ix", "iy"))
+      val mm = withZ.groupBy("rx", "ry")
+        .agg(min("z").as("mn"), max("z").as("mx"))
+      withZ.join(mm, Seq("rx", "ry"))
+        .selectExpr("ix", "iy",
+          "CASE WHEN mx > mn THEN round(cast(z - mn as double) / cast(mx - mn as double), 6) " +
+            "ELSE 0.0e0 END AS rel_elev")
+        .orderBy("ix", "iy")
+    }),
+
     "impoundment_index" -> ((s, dir) => {
       val pp = pour(s, dir).localCheckpoint()
       val dam = Dem.dem(s, dir).join(pp, Seq("ix", "iy"))
@@ -294,6 +317,18 @@ object Hydro6 {
         "JOIN mem m ON m.ix = p.ix AND m.iy = p.iy GROUP BY p.pid)") +
       "SELECT lev.level, mem.pid, mem.ix, mem.iy FROM mem " +
       "JOIN lev ON lev.pid = mem.pid ORDER BY 1, 2, 3, 4"),
+
+    "elev_relative_to_watershed_min_max" -> (Wd(
+      s"bs AS (SELECT p.sx AS ix, p.sy AS iy, " +
+        s"max(CASE WHEN d.dir < 0 THEN d.ix * $G + d.iy END) AS bid " +
+        "FROM paths p JOIN dd d ON d.ix = p.cx AND d.iy = p.cy GROUP BY 1, 2)",
+      "mm AS (SELECT bs.bid, min(d.z) AS mn, max(d.z) AS mx FROM bs " +
+        "JOIN dem d ON d.ix = bs.ix AND d.iy = bs.iy GROUP BY bs.bid)") +
+      "SELECT bs.ix, bs.iy, CASE WHEN mm.mx > mm.mn " +
+      "THEN round(cast(d.z - mm.mn as double) / cast(mm.mx - mm.mn as double), 6) " +
+      "ELSE 0.0e0 END AS rel_elev FROM bs " +
+      "JOIN dem d ON d.ix = bs.ix AND d.iy = bs.iy " +
+      "JOIN mm ON mm.bid = bs.bid ORDER BY 1, 2"),
 
     "isobasins" -> {
       val rounds = (1 to isoRounds).map { r =>

@@ -282,7 +282,11 @@ object Multiscale {
           anisoRadii.map(m => s"SELECT ix, iy, $m AS scale, ani_$m AS ani FROM dv WHERE $probeRows")
             .mkString(" UNION ALL ") + ") ORDER BY ix, iy, scale"),
       "multiscale_roughness" ->
-        s"$rctes SELECT ix, iy, round(rg_m, 6) AS rough_mag, rg_s AS rough_scale FROM $rlast ORDER BY ix, iy"
+        s"$rctes SELECT ix, iy, round(rg_m, 6) AS rough_mag, rg_s AS rough_scale FROM $rlast ORDER BY ix, iy",
+      "multiscale_roughness_signature" ->
+        (s"$rctes SELECT ix, iy, scale, round(rough, 6) AS rough FROM (" +
+          roughRadii.map(m => s"SELECT ix, iy, $m AS scale, rg_$m AS rough FROM rj WHERE $probeRows")
+            .mkString(" UNION ALL ") + ") ORDER BY ix, iy, scale")
     )
   }
 
