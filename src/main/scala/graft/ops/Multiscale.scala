@@ -230,12 +230,19 @@ object Multiscale {
       val dd = s"dd$m AS (SELECT u.ix, u.iy, cast(round(degrees(acos(" +
         s"least(1.0e0, greatest(-1.0e0, $dot / $den)))) * 1000000.0e0) as bigint) AS ddq " +
         s"FROM na0 u JOIN na$m v ON v.ix = u.ix AND v.iy = u.iy)"
+      // rg_$m (double) drives the max fold; rmq_$m is the SAME mean as an
+      // exact half-up-rounded integer micro-degree value — round(S/N) =
+      // ((2S+N) − (2S+N) mod 2N) / 2N, all positive integers, so the
+      // OUTPUT cannot sit on a double rounding boundary (a sf0.01 cell's
+      // mean landed exactly on round(x,6)'s .5 and the engines split)
       val rg = s"rg$m AS (SELECT ix, iy, " +
-        s"(cast(${rw(s"sum(sd$m)", -m, m)} as double) / 1000000.0e0) / cast(${rw(s"sum(nd$m)", -m, m)} as double) AS rg_$m FROM " +
-        s"(SELECT ix, iy, ${cw("sum(ddq)", -m, m)} AS sd$m, ${cw("count(*)", -m, m)} AS nd$m FROM dd$m))"
+        s"(cast(S$m as double) / 1000000.0e0) / cast(N$m as double) AS rg_$m, " +
+        s"cast(((2 * S$m + N$m) - ((2 * S$m + N$m) % (2 * N$m))) / (2 * N$m) as bigint) AS rmq_$m FROM " +
+        s"(SELECT ix, iy, ${rw(s"sum(sd$m)", -m, m)} AS S$m, ${rw(s"sum(nd$m)", -m, m)} AS N$m FROM " +
+        s"(SELECT ix, iy, ${cw("sum(ddq)", -m, m)} AS sd$m, ${cw("count(*)", -m, m)} AS nd$m FROM dd$m)))"
       Seq(sm, nr, na, dd, rg).mkString(", ")
     }
-    val joined = s"rj AS (SELECT a.ix, a.iy, ${roughRadii.map(m => s"rg_$m").mkString(", ")} " +
+    val joined = s"rj AS (SELECT a.ix, a.iy, ${roughRadii.flatMap(m => Seq(s"rg_$m", s"rmq_$m")).mkString(", ")} " +
       s"FROM rg${roughRadii.head} a " +
       roughRadii.tail.map(m => s"JOIN rg$m ON rg$m.ix = a.ix AND rg$m.iy = a.iy").mkString(" ") + ")"
     // strict-> fold (roughness is nonnegative; reference compares raw
@@ -282,10 +289,11 @@ object Multiscale {
           anisoRadii.map(m => s"SELECT ix, iy, $m AS scale, ani_$m AS ani FROM dv WHERE $probeRows")
             .mkString(" UNION ALL ") + ") ORDER BY ix, iy, scale"),
       "multiscale_roughness" ->
-        s"$rctes SELECT ix, iy, round(rg_m, 6) AS rough_mag, rg_s AS rough_scale FROM $rlast ORDER BY ix, iy",
+        (s"$rctes SELECT ix, iy, CASE rg_s ${roughRadii.map(m => s"WHEN $m THEN rmq_$m").mkString(" ")} END " +
+          s"AS rough_micro, rg_s AS rough_scale FROM $rlast ORDER BY ix, iy"),
       "multiscale_roughness_signature" ->
-        (s"$rctes SELECT ix, iy, scale, round(rough, 6) AS rough FROM (" +
-          roughRadii.map(m => s"SELECT ix, iy, $m AS scale, rg_$m AS rough FROM rj WHERE $probeRows")
+        (s"$rctes SELECT ix, iy, scale, rough_micro FROM (" +
+          roughRadii.map(m => s"SELECT ix, iy, $m AS scale, rmq_$m AS rough_micro FROM rj WHERE $probeRows")
             .mkString(" UNION ALL ") + ") ORDER BY ix, iy, scale")
     )
   }
