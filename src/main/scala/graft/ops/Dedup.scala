@@ -47,15 +47,15 @@ object Dedup {
     }
   private def minhashAggs(d: Dialect): Seq[String] = minhashAggs(d, d.md5Bits("sh", 1))
 
-  /** Spark-side signature table: doc_id, m0..m15 (digest projected once). */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(s, dir, "documents")
-    val exploded = docs.select(col("doc_id"),
-        explode(expr(SparkD.shingles("text"))).as("sh"))
-      .withColumn("h", expr(SparkD.md5Bits("sh", 1)))
-    val aggs = minhashAggs(SparkD, "h")
-    exploded.groupBy("doc_id").agg(expr(aggs.head).as("m0"), aggs.tail.map(expr): _*)
-  }
+  /** Spark-side signature table: doc_id, m0..m15 — the single-pass
+    * MinHashExpr (graft/expr/MinHash.scala): whole signature in one
+    * document scan, no shingle explode, no shuffle (MinHashSpec pins
+    * bit-equality against the exploded twin-SQL form, which remains the
+    * DuckDB oracle). */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), graft.expr.MinHash.minhash16(col("text")).as("mh"))
+      .selectExpr(("doc_id" +: (0 until nHashes).map(j => s"mh[$j] AS m$j")): _*)
 
   private def duckSignatures: String =
     s"sigs AS (SELECT doc_id, ${minhashAggs(DuckD).mkString(", ")} FROM " +
