@@ -51,7 +51,8 @@ object SparkEntry {
       graft.ops.Breach.queries ++ graft.ops.Multiscale.queries ++
       graft.ops.Direction.queries ++ graft.ops.Hydro6.queries ++
       graft.ops.Singles.queries ++ graft.ops.Lidar3.queries ++
-      graft.ops.Terrain4.queries ++ graft.ops.Polygonize.queries ++ Map(
+      graft.ops.Terrain4.queries ++ graft.ops.Polygonize.queries ++
+      graft.ops.Stochastic.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -187,7 +188,8 @@ object SparkEntry {
       graft.ops.Breach.oracles ++ graft.ops.Multiscale.oracles ++
       graft.ops.Direction.oracles ++ graft.ops.Hydro6.oracles ++
       graft.ops.Singles.oracles ++ graft.ops.Lidar3.oracles ++
-      graft.ops.Terrain4.oracles ++ graft.ops.Polygonize.oracles ++ Map(
+      graft.ops.Terrain4.oracles ++ graft.ops.Polygonize.oracles ++
+      graft.ops.Stochastic.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "modified_kmeans_clustering" -> graft.ops.HardOracles.modifiedKmeansSql(),

@@ -32,7 +32,30 @@ object Extras5 {
 
   private val csvCols = "doc_id, lang, n_chars"
 
+  /** PrintGeoTiffTags (data_tools/print_geotiff_tags.rs:159 → print_tags:
+    * raster dimensions, pixel scale, origin, sample stats). The file
+    * format is parquet here, so the analogue is a one-row metadata TABLE
+    * over the DEM raster — the same tags a GeoTIFF header carries,
+    * derivable relationally (grid dims, pixel scale in degrees, extent
+    * origin, value min/max/sum/cardinality). Identical aggregate text in
+    * both dialects; sums cast to bigint to keep DuckDB's hugeint out of
+    * the hash compare. */
+  private val tagCols: Seq[String] = Seq(
+    s"cast(${Dem.G} as bigint) AS n_cols",
+    s"cast(${Dem.G} as bigint) AS n_rows",
+    "count(*) AS n_cells",
+    s"(0.1e0 / ${Dem.G}) AS pixel_scale_deg",
+    "-74.0e0 AS west",
+    "40.7e0 AS south",
+    "min(z) AS z_min",
+    "max(z) AS z_max",
+    "cast(sum(z) as bigint) AS z_sum",
+    "cast(count(DISTINCT z) as bigint) AS n_distinct_z")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "geotiff_tags" -> ((s, dir) =>
+      Dem.dem(s, dir).selectExpr(tagCols: _*)),
 
     "set_nodata_value" -> ((s, dir) =>
       Raster.density(s, dir, 5)
@@ -83,6 +106,10 @@ object Extras5 {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "geotiff_tags" ->
+      (s"WITH RECURSIVE ${Dem.duckDemCtes} " +
+        s"SELECT ${tagCols.mkString(", ")} FROM dem"),
 
     "set_nodata_value" ->
       (s"${pagesWith(DuckD)}, ${densityG(DuckD, 5)} " +

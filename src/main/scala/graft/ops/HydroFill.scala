@@ -38,27 +38,33 @@ object HydroFill {
   private val borderE = s"(ix = 0 OR ix = ${G - 1} OR iy = 0 OR iy = ${G - 1})"
   private val fillRounds = 64
 
+  /** Planchon–Darboux fill fixpoint over an arbitrary (ix, iy, z) frame —
+    * shared by fill_depressions and the stochastic depression analysis
+    * (which runs it once per perturbed realization). */
+  private[ops] def fillOf(g: DataFrame, name: String): DataFrame = {
+    val nbr = Dem.halo(g).select("ix", "iy", "nix", "niy").localCheckpoint()
+    val init = g.selectExpr("ix", "iy", "z",
+      s"CASE WHEN $borderE THEN cast(z as double) ELSE 1.0e18 END AS f")
+    // cap = twin unroll (fillRounds) + checkEvery: converge() detects a
+    // fixpoint one check-block AFTER the state stops changing, so this
+    // cap passes iff convergence happened within the twin's unroll —
+    // a data/scale change that needs more rounds fails loudly instead
+    // of silently out-running the oracle's unrolled state (ADVICE r4).
+    Dem.converge(init, fillRounds + 8, 8, name) { cur =>
+      val nmin = nbr
+        .join(cur.selectExpr("ix AS nix", "iy AS niy", "f AS nf"), Seq("nix", "niy"))
+        .groupBy("ix", "iy").agg(min("nf").as("mn"))
+      cur.select("ix", "iy", "z").join(nmin, Seq("ix", "iy"), "left")
+        .selectExpr("ix", "iy", "z",
+          s"CASE WHEN $borderE THEN cast(z as double) " +
+            "ELSE greatest(cast(z as double), coalesce(mn, 1.0e18)) END AS f")
+    }
+  }
+
   /** Filled elevation F per cell (double), memoized. */
   private[ops] def filled(s: SparkSession, dir: String): DataFrame =
     Dem.memo(s, dir, "filled") {
-      val g = Dem.dem(s, dir)
-      val nbr = Dem.halo(g).select("ix", "iy", "nix", "niy").localCheckpoint()
-      val init = g.selectExpr("ix", "iy", "z",
-        s"CASE WHEN $borderE THEN cast(z as double) ELSE 1.0e18 END AS f")
-      // cap = twin unroll (fillRounds) + checkEvery: converge() detects a
-      // fixpoint one check-block AFTER the state stops changing, so this
-      // cap passes iff convergence happened within the twin's unroll —
-      // a data/scale change that needs more rounds fails loudly instead
-      // of silently out-running the oracle's unrolled state (ADVICE r4).
-      Dem.converge(init, fillRounds + 8, 8, "fill_depressions") { cur =>
-        val nmin = nbr
-          .join(cur.selectExpr("ix AS nix", "iy AS niy", "f AS nf"), Seq("nix", "niy"))
-          .groupBy("ix", "iy").agg(min("nf").as("mn"))
-        cur.select("ix", "iy", "z").join(nmin, Seq("ix", "iy"), "left")
-          .selectExpr("ix", "iy", "z",
-            s"CASE WHEN $borderE THEN cast(z as double) " +
-              "ELSE greatest(cast(z as double), coalesce(mn, 1.0e18)) END AS f")
-      }
+      fillOf(Dem.dem(s, dir), "fill_depressions")
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -164,23 +170,31 @@ object HydroFill {
 
   // ---- DuckDB twins ----------------------------------------------------
 
-  /** unrolled synchronous fill rounds ending in f{fillRounds}. */
-  private[ops] def duckFillCtes: String = {
+  /** unrolled synchronous fill rounds over CTE `src`, prefix `p`, ending
+    * in `p{fillRounds}` — parameterized so the stochastic analysis can
+    * unroll one chain per perturbed realization. */
+  private[ops] def duckFillCtesFor(p: String, src: String): String = {
     val rounds = (1 to fillRounds).map { r =>
-      val p = s"f${r - 1}"
-      s"f$r AS MATERIALIZED (SELECT c.ix, c.iy, c.z, " +
+      val prev = s"$p${r - 1}"
+      s"$p$r AS MATERIALIZED (SELECT c.ix, c.iy, c.z, " +
         s"CASE WHEN c.ix = 0 OR c.ix = ${G - 1} OR c.iy = 0 OR c.iy = ${G - 1} " +
         "THEN cast(c.z as double) " +
         "ELSE greatest(cast(c.z as double), min(n.f)) END AS f " +
-        s"FROM $p c JOIN $p n " +
+        s"FROM $prev c JOIN $prev n " +
         "ON n.ix BETWEEN c.ix - 1 AND c.ix + 1 AND n.iy BETWEEN c.iy - 1 AND c.iy + 1 " +
         "AND NOT (n.ix = c.ix AND n.iy = c.iy) " +
         "GROUP BY c.ix, c.iy, c.z)"
     }.mkString(", ")
-    s"f0 AS (SELECT ix, iy, z, CASE WHEN ix = 0 OR ix = ${G - 1} OR iy = 0 OR iy = ${G - 1} " +
-      s"THEN cast(z as double) ELSE 1.0e18 END AS f FROM dem), $rounds, " +
-      s"ff AS MATERIALIZED (SELECT ix, iy, z, f FROM f$fillRounds)"
+    s"${p}0 AS (SELECT ix, iy, z, CASE WHEN ix = 0 OR ix = ${G - 1} OR iy = 0 OR iy = ${G - 1} " +
+      s"THEN cast(z as double) ELSE 1.0e18 END AS f FROM $src), $rounds"
   }
+
+  /** unrolled synchronous fill rounds ending in ff. */
+  private[ops] def duckFillCtes: String =
+    duckFillCtesFor("f", "dem") +
+      s", ff AS MATERIALIZED (SELECT ix, iy, z, f FROM f$fillRounds)"
+
+  private[ops] def fillLast: String = fillRounds.toString
 
   private def W(extra: String*): String =
     (Seq(Dem.duckStreamCtes) ++ extra).mkString("WITH RECURSIVE ", ", ", " ")
