@@ -203,8 +203,16 @@ object Extras2 {
           .groupBy("ix", "iy").agg(count(lit(1)).as("v"))
         val sLut = Raster.cdfLut(s, src).as[(Long, Double)].collect().sortBy(_._1)
         val tLut = Raster.cdfLut(s, tgt).as[(Long, Double)].collect().sortBy(_._1)
-        val mapping = sLut.map { case (v, c) =>
-          (v, tLut.find(_._2 >= c).map(_._1).getOrElse(tLut.last._1))
+        // single merge-scan: both LUTs are sorted by value and the CDF is
+        // monotone in value, so the "first target bin with cdf >= c"
+        // pointer only ever advances — O(|s|+|t|), same result as the
+        // per-bin linear probe it replaces (VERDICT r4 #7).
+        val mapping = {
+          var j = 0
+          sLut.map { case (v, c) =>
+            while (j < tLut.length - 1 && tLut(j)._2 < c) j += 1
+            (v, if (tLut(j)._2 >= c) tLut(j)._1 else tLut.last._1)
+          }
         }.toSeq.toDF("v", "v_m")
         src.join(broadcast(mapping), "v")
           .select("ix", "iy", "v_m").orderBy("ix", "iy")
