@@ -69,13 +69,18 @@ object Ann {
     // Brute-force cosine top-k for query vectors vec_id < 10.
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
+      // norms hoisted to one sqrt-of-self-dot per ROW before the join —
+      // the joined expression was recomputing the candidate norm once per
+      // query (|Q|× redundant ALU); sqrt(a·a)*sqrt(b·b) is evaluated in
+      // the same operation order, so scores are bit-identical.
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+        .withColumn("na", expr(norm(sparkDot.replace("eb", "ea"))))
       val c = emb.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+        .withColumn("nb", expr(norm(sparkDot.replace("ea", "eb"))))
       val scored = c.crossJoin(broadcast(q))
         .filter(col("nid") =!= col("qid"))
-        .withColumn("cos", expr(
-          s"round(($sparkDot) / (${norm(sparkDot.replace("eb", "ea"))} * ${norm(sparkDot.replace("ea", "eb"))}), 6)"))
+        .withColumn("cos", expr(s"round(($sparkDot) / (na * nb), 6)"))
       // bounded top-k on (−cos, nid): O(k) state per query, map-side
       // partials — no shuffle+sort of every scored candidate by qid.
       scored.groupBy("qid")
@@ -105,11 +110,12 @@ object Ann {
           expr(lshBucketCoarse(SparkD, "embedding")).as("bucket"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("ea"), col("bucket"))
+        .withColumn("na", expr(norm(sparkDot.replace("eb", "ea"))))
       val c = emb.select(col("vec_id").as("nid"), col("embedding").as("eb"), col("bucket"))
+        .withColumn("nb", expr(norm(sparkDot.replace("ea", "eb"))))
       val scored = c.join(q, Seq("bucket"))
         .filter(col("nid") =!= col("qid"))
-        .withColumn("cos", expr(
-          s"round(($sparkDot) / (${norm(sparkDot.replace("eb", "ea"))} * ${norm(sparkDot.replace("ea", "eb"))}), 6)"))
+        .withColumn("cos", expr(s"round(($sparkDot) / (na * nb), 6)"))
       scored.groupBy("qid")
         .agg(graft.agg.TopKByDist.topK(k)(negate(col("cos")), col("nid")).as("tk"))
         .select(col("qid"), posexplode(col("tk")))
