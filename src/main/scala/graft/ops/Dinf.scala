@@ -90,9 +90,11 @@ object Dinf {
     }
   }
 
-  def oracles: Map[String, String] = Map(
-    "dinf_pointer" -> (s"WITH RECURSIVE ${Dem.duckDemCtes}, " +
-      s"facets AS (SELECT * FROM (VALUES $facetValues) f(i, d1x, d1y, d2x, d2y, ac, af)), " +
+  /** facets…bs CTE chain (no demCtes prefix, no final SELECT) — shared
+    * verbatim with Dinf2's routing twins instead of being re-extracted by
+    * substring surgery on the assembled oracle (ADVICE r4 pattern). */
+  private[ops] def facetChain: String =
+    s"facets AS (SELECT * FROM (VALUES $facetValues) f(i, d1x, d1y, d2x, d2y, ac, af)), " +
       "zg AS (SELECT ix, iy, cast(z as double) AS z FROM dem), " +
       "cd AS (SELECT c.ix, c.iy, f.i, f.ac, f.af, c.z AS e0, a.z AS e1, b.z AS e2 " +
       "FROM zg c JOIN facets f ON true " +
@@ -102,11 +104,18 @@ object Dinf {
       "fs AS (SELECT ix, iy, i, s, " +
       s"af * r + ac * $halfPi AS dir0 FROM fc WHERE s IS NOT NULL AND s <> 0.00001e0), " +
       "bs AS (SELECT ix, iy, s, dir0 FROM (SELECT ix, iy, s, dir0, " +
-      "row_number() OVER (PARTITION BY ix, iy ORDER BY s DESC, i DESC) AS rn FROM fs) WHERE rn = 1) " +
-      "SELECT d.ix, d.iy, CASE WHEN bs.s IS NULL OR bs.s <= 0.0e0 THEN -1.0e0 ELSE " +
+      "row_number() OVER (PARTITION BY ix, iy ORDER BY s DESC, i DESC) AS rn FROM fs) WHERE rn = 1)"
+
+  /** dinf_dir projection over a `bs`-joined dem row (nullable bs side). */
+  private[ops] def dinfDirE: String =
+    "CASE WHEN bs.s IS NULL OR bs.s <= 0.0e0 THEN -1.0e0 ELSE " +
       "round(CASE WHEN 360.0e0 - degrees(bs.dir0) + 90.0e0 > 360.0e0 " +
       "THEN 360.0e0 - degrees(bs.dir0) + 90.0e0 - 360.0e0 " +
-      "ELSE 360.0e0 - degrees(bs.dir0) + 90.0e0 END, 6) END AS dinf_dir " +
+      "ELSE 360.0e0 - degrees(bs.dir0) + 90.0e0 END, 6) END"
+
+  def oracles: Map[String, String] = Map(
+    "dinf_pointer" -> (s"WITH RECURSIVE ${Dem.duckDemCtes}, $facetChain " +
+      s"SELECT d.ix, d.iy, $dinfDirE AS dinf_dir " +
       "FROM dem d LEFT JOIN bs ON bs.ix = d.ix AND bs.iy = d.iy ORDER BY 1, 2")
   )
 }

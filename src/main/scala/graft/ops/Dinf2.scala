@@ -177,19 +177,13 @@ object Dinf2 {
   private def sectValues: String =
     (0 until 8).map(k => s"($k, ${t1x(k)}, ${t1y(k)}, ${t2x(k)}, ${t2y(k)})").mkString(", ")
 
-  /** the dinf_pointer twin chain reduced to `dv(ix, iy, dinf_dir)`. */
-  private def duckDinfDir: String = {
-    val full = Dinf.oracles("dinf_pointer")
-    // strip the leading WITH RECURSIVE demCtes (re-added by Wd) and the
-    // final SELECT; keep the facet chain, then re-project
-    val body = full.substring(full.indexOf("facets AS"), full.lastIndexOf("SELECT d.ix"))
-    body.trim + ", " +
-      "dv AS MATERIALIZED (SELECT d.ix, d.iy, CASE WHEN bs.s IS NULL OR bs.s <= 0.0e0 THEN -1.0e0 ELSE " +
-      "round(CASE WHEN 360.0e0 - degrees(bs.dir0) + 90.0e0 > 360.0e0 " +
-      "THEN 360.0e0 - degrees(bs.dir0) + 90.0e0 - 360.0e0 " +
-      "ELSE 360.0e0 - degrees(bs.dir0) + 90.0e0 END, 6) END AS dinf_dir " +
+  /** the dinf_pointer twin chain reduced to `dv(ix, iy, dinf_dir)` —
+    * composed from Dinf's shared facetChain/dinfDirE constants (no
+    * substring surgery on the assembled oracle; ADVICE r4 pattern). */
+  private def duckDinfDir: String =
+    Dinf.facetChain + ", " +
+      s"dv AS MATERIALIZED (SELECT d.ix, d.iy, ${Dinf.dinfDirE} AS dinf_dir " +
       "FROM dem d LEFT JOIN bs ON bs.ix = d.ix AND bs.iy = d.iy)"
-  }
 
   /** ready-gated routing rounds over an existing `re(ix,iy,tx,ty,pm)`. */
   private def duckRoute(rounds: Int): String = {

@@ -120,7 +120,10 @@ object Extras2 {
     (i, s"region-$i", math.floor((i * 37 % 101) * 100.0) / 100.0)
   }
 
-  private def linesToRasterSql(d: Dialect): String = {
+  /** CTE prefix through `cr` (rasterized line-crossing cells) — shared by
+    * lines_to_raster and raster_to_vector_lines as a constant prefix
+    * instead of substring surgery on the assembled SQL (ADVICE r4). */
+  private def linesToRasterCtes(d: Dialect): String = {
     val explodeRows = d match {
       case SparkD => "LATERAL VIEW explode(sequence(iy0, iy1)) t AS riy"
       case DuckD  => ", unnest(range(iy0, iy1 + 1)) AS u(riy)"
@@ -132,9 +135,12 @@ object Extras2 {
       s"rows0 AS (SELECT x1, y1, x2, y2, $iy0E AS iy0, $iy1E AS iy1 FROM segs), " +
       s"expl AS (SELECT x1, y1, x2, y2, riy FROM rows0 $explodeRows WHERE iy0 <= iy1), " +
       s"cr AS (SELECT riy AS iy, $ixE AS ix FROM (SELECT riy, x1, x2, y1, y2, $xcrossE AS xc " +
-      s"FROM (SELECT *, $ycE AS yc FROM expl) t0) t1) " +
-      "SELECT ix, iy, count(*) AS n_cross FROM cr GROUP BY 1, 2 ORDER BY ix, iy"
+      s"FROM (SELECT *, $ycE AS yc FROM expl) t0) t1)"
   }
+
+  private def linesToRasterSql(d: Dialect): String =
+    s"${linesToRasterCtes(d)} " +
+      "SELECT ix, iy, count(*) AS n_cross FROM cr GROUP BY 1, 2 ORDER BY ix, iy"
 
   private val builders: Map[String, Dialect => String] = Map(
     "morph_opening" -> (d =>
@@ -155,9 +161,7 @@ object Extras2 {
     // rasterized line cells back into per-row run features (gaps-and-
     // islands over PARTITIONED windows — one grid row per partition).
     "raster_to_vector_lines" -> (d => {
-      val base = linesToRasterSql(d)
-      val pre = base.substring(0, base.lastIndexOf("SELECT ix, iy, count(*)"))
-      pre +
+      linesToRasterCtes(d) +
         ", cells AS (SELECT DISTINCT ix, iy FROM cr), " +
         "runs AS (SELECT ix, iy, ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS grp FROM cells) " +
         "SELECT iy, min(ix) AS ix_start, max(ix) AS ix_end, count(*) AS n_cells " +
