@@ -33,13 +33,13 @@ object Knn {
     s"cast(floor(($e) / ${Lit.d(w)}) as bigint)"
 
   /** Pages with FRS bucket keys at width w. */
-  private def bucketed(s: SparkSession, dir: String, w: Double): DataFrame =
+  private[ops] def bucketed(s: SparkSession, dir: String, w: Double): DataFrame =
     Tables.pages(s, dir)
       .select(col("doc_id"), col("lon"), col("lat"), col("n_chars"),
               expr(bucket("lon", w)).as("bx"), expr(bucket("lat", w)).as("by"))
 
   /** Explode the 5×5 block offsets (fixed_radius_search.rs:71-78). */
-  private def withBlock(df: DataFrame, w: Double,
+  private[ops] def withBlock(df: DataFrame, w: Double,
                         x: String, y: String): DataFrame =
     df.withColumn("dx", explode(sequence(lit(-2), lit(2))))
       .withColumn("dy", explode(sequence(lit(-2), lit(2))))

@@ -40,23 +40,27 @@ object Terrain {
   private val aspectE =
     s"CASE WHEN fx <> 0.0e0 THEN round($aspectCore, 6) ELSE -1.0e0 END AS aspect_deg"
 
-  /** hillshade with default azimuth 315° / altitude 30°: azimuth−90 = 225°. */
-  private val hillshadeE = {
+  /** hillshade at arbitrary --azimuth/--altitude (hillshade.rs:280-299
+    * works with azimuth−90); shared with the ParamSweeps azimuth gate. */
+  private[ops] def hillshadeFor(altDeg: Int, azMinus90Deg: Int): String = {
     val ts = "sqrt(fx * fx + fy * fy)"
     val asp = s"radians($aspectCore)"
     val term1 = s"($ts) / sqrt(1.0e0 + ($ts) * ($ts))"
-    val term2 = s"sin(radians(30.0e0)) / ($ts)"
-    val term3 = s"cos(radians(30.0e0)) * sin(radians(225.0e0) - ($asp))"
+    val term2 = s"sin(radians(${altDeg}.0e0)) / ($ts)"
+    val term3 = s"cos(radians(${altDeg}.0e0)) * sin(radians(${azMinus90Deg}.0e0) - ($asp))"
     val hs = s"CASE WHEN fx <> 0.0e0 THEN ($term1) * (($term2) - ($term3)) ELSE 0.5e0 END"
     s"cast(round(greatest(($hs) * 32767.0e0, 0.0e0)) as bigint) AS hillshade"
   }
+
+  /** the reference defaults: azimuth 315° / altitude 30° (azimuth−90 = 225°). */
+  private val hillshadeE = hillshadeFor(30, 225)
 
   private def nbSelects: Seq[String] =
     (0 until 8).map(c => s"cast(coalesce(m$c, z) as double) AS n$c")
 
   /** Spark side: grid → halo (equi-join) → one hash aggregate recovering
     * the 8 neighbour values (centre fallback) → fx/fy → formula. */
-  private def fxy(s: SparkSession, dir: String, res: Int = 6): DataFrame = {
+  private[ops] def fxy(s: SparkSession, dir: String, res: Int = 6): DataFrame = {
     val aggs = offsets.zipWithIndex.map { case ((dx, dy), c) =>
       expr(s"max(CASE WHEN dx = $dx AND dy = $dy THEN nv END)").as(s"m$c")
     }
@@ -80,7 +84,7 @@ object Terrain {
 
   private val pagesWith = s"WITH pages AS (${Geo.pagesCte(DuckD)})"
 
-  private def duckFxy(res: Int = 6): String = {
+  private[ops] def duckFxy(res: Int = 6): String = {
     val g = s"g AS (SELECT ${Geo.ix(DuckD, "lon", res)} AS ix, " +
       s"${Geo.iy(DuckD, "lat", res)} AS iy, count(*) AS v FROM pages GROUP BY 1, 2)"
     val h = "h AS (SELECT c.ix, c.iy, c.v, n.ix - c.ix AS dx, n.iy - c.iy AS dy, " +
