@@ -64,32 +64,48 @@ object Ann {
       s"(CASE WHEN ${d.elemD(arr, c)} > 0.0e0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Brute-force cosine top-k (--k parameterized; gated at the default
+    * k=10 and the ParamSweeps2 k=5 point, whose result is provably the
+    * rank ≤ 5 prefix of the k=10 frame). */
+  private[ops] def cosineTopk(s: SparkSession, dir: String, kk: Int): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings")
+    // norms hoisted to one sqrt-of-self-dot per ROW before the join —
+    // the joined expression was recomputing the candidate norm once per
+    // query (|Q|× redundant ALU); sqrt(a·a)*sqrt(b·b) is evaluated in
+    // the same operation order, so scores are bit-identical.
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+      .withColumn("na", expr(norm(sparkDot.replace("eb", "ea"))))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+      .withColumn("nb", expr(norm(sparkDot.replace("ea", "eb"))))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", expr(s"round(($sparkDot) / (na * nb), 6)"))
+    // bounded top-k on (−cos, nid): O(k) state per query, map-side
+    // partials — no shuffle+sort of every scored candidate by qid.
+    scored.groupBy("qid")
+      .agg(graft.agg.TopKByDist.topK(kk)(negate(col("cos")), col("nid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), expr("cast(pos + 1 as int)").as("rank"),
+        col("col.id").as("nid"), negate(col("col.dist")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of `cosineTopk` at an arbitrary k. */
+  private[ops] def cosineTopkDuck(kk: Int): String = {
+    val cosDuck =
+      s"round(($duckDot) / (${norm(duckDot.replace("eb", "ea"))} * ${norm(duckDot.replace("ea", "eb"))}), 6)"
+    "WITH q AS (SELECT vec_id AS qid, embedding AS ea FROM embeddings WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id AS nid, embedding AS eb FROM embeddings), " +
+      s"scored AS (SELECT qid, nid, $cosDuck AS cos FROM q, c WHERE nid <> qid), " +
+      "r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored) " +
+      s"SELECT qid, rank, nid, cos FROM r WHERE rank <= $kk ORDER BY qid, rank"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-k for query vectors vec_id < 10.
-    "ann_cosine_topk" -> ((s, dir) => {
-      val emb = Tables.table(s, dir, "embeddings")
-      // norms hoisted to one sqrt-of-self-dot per ROW before the join —
-      // the joined expression was recomputing the candidate norm once per
-      // query (|Q|× redundant ALU); sqrt(a·a)*sqrt(b·b) is evaluated in
-      // the same operation order, so scores are bit-identical.
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("ea"))
-        .withColumn("na", expr(norm(sparkDot.replace("eb", "ea"))))
-      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("eb"))
-        .withColumn("nb", expr(norm(sparkDot.replace("ea", "eb"))))
-      val scored = c.crossJoin(broadcast(q))
-        .filter(col("nid") =!= col("qid"))
-        .withColumn("cos", expr(s"round(($sparkDot) / (na * nb), 6)"))
-      // bounded top-k on (−cos, nid): O(k) state per query, map-side
-      // partials — no shuffle+sort of every scored candidate by qid.
-      scored.groupBy("qid")
-        .agg(graft.agg.TopKByDist.topK(k)(negate(col("cos")), col("nid")).as("tk"))
-        .select(col("qid"), posexplode(col("tk")))
-        .select(col("qid"), expr("cast(pos + 1 as int)").as("rank"),
-          col("col.id").as("nid"), negate(col("col.dist")).as("cos"))
-        .orderBy("qid", "rank")
-    }),
+    "ann_cosine_topk" -> ((s, dir) => cosineTopk(s, dir, k)),
 
     // Sign-LSH bucket id per vector (the IVF-style scale path).
     "ann_lsh_buckets" -> ((s, dir) => {
@@ -183,12 +199,7 @@ object Ann {
     val cosDuck =
       s"round(($duckDot) / (${norm(duckDot.replace("eb", "ea"))} * ${norm(duckDot.replace("ea", "eb"))}), 6)"
     Map(
-      "ann_cosine_topk" ->
-        ("WITH q AS (SELECT vec_id AS qid, embedding AS ea FROM embeddings WHERE vec_id < 10), " +
-          "c AS (SELECT vec_id AS nid, embedding AS eb FROM embeddings), " +
-          s"scored AS (SELECT qid, nid, $cosDuck AS cos FROM q, c WHERE nid <> qid), " +
-          "r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored) " +
-          s"SELECT qid, rank, nid, cos FROM r WHERE rank <= $k ORDER BY qid, rank"),
+      "ann_cosine_topk" -> cosineTopkDuck(k),
       "ann_lsh_buckets" ->
         (s"SELECT vec_id, ${lshBucket(DuckD, "embedding")} AS bucket " +
           "FROM embeddings ORDER BY vec_id"),

@@ -31,7 +31,7 @@ object Dedup {
 
   private val nHashes = 16
   private val bands = 8 // of 2 rows each
-  private val bucketCap = 1000 // max members per band bucket (skew bound)
+  private[ops] val bucketCap = 1000 // max members per band bucket (skew bound)
 
   /** One md5 per shingle; the 16 family members derive arithmetically
     * (odd multiplier → bijection mod 2^32, plus an offset), so signature
@@ -52,12 +52,12 @@ object Dedup {
     * document scan, no shingle explode, no shuffle (MinHashSpec pins
     * bit-equality against the exploded twin-SQL form, which remains the
     * DuckDB oracle). */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
+  private[ops] def signatures(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
       .select(col("doc_id"), graft.expr.MinHash.minhash16(col("text")).as("mh"))
       .selectExpr(("doc_id" +: (0 until nHashes).map(j => s"mh[$j] AS m$j")): _*)
 
-  private def duckSignatures: String =
+  private[ops] def duckSignatures: String =
     s"sigs AS (SELECT doc_id, ${minhashAggs(DuckD).mkString(", ")} FROM " +
       s"(SELECT doc_id, unnest(${DuckD.shingles("text")}) AS sh FROM documents) t GROUP BY doc_id)"
 

@@ -14,6 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Quantiles (quantiles.rs:199-262) parameterized by --num_quantiles k:
+    * the reference's 10,000-bin histogram CDF. Shared by the gated k=4
+    * default and the ParamSweeps2 k=10 point. */
+  private[ops] def quantilesK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val p = Tables.pages(s, dir).select("doc_id", "n_chars")
+    val Array((mn, mx, n)) = p
+      .agg(expr("cast(min(n_chars) as bigint)"), expr("cast(max(n_chars) as bigint)"), count(lit(1)))
+      .as[(Long, Long, Long)].collect()
+    // degenerate range (all values equal) → binSize would be 0 and the
+    // bin expression divides by zero under ANSI; clamp to ≥1 bin width
+    // (everything lands in bin 0, quantile 1) — twin does the same.
+    val binSize = math.max(math.ceil((mx - mn).toDouble), 1.0) / 10000.0
+    val binExpr = "least(cast(floor(cast(n_chars - " + mn + " as double) / " +
+      graft.core.Lit.d(binSize) + ") as bigint), 9999)"
+    val hist = p.selectExpr(s"$binExpr AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val lut = hist.map { case (b, c) =>
+      cum += c
+      val cdf = (100.0 * cum.toDouble) / n.toDouble
+      var q = math.floor(cdf / (100.0 / k))
+      if (q == k.toDouble) q = (k - 1).toDouble
+      (b, q.toLong + 1L)
+    }.toSeq.toDF("bin0", "bin")
+    p.withColumn("bin0", expr(binExpr))
+      .join(broadcast(lut), "bin0")
+      .select("doc_id", "n_chars", "bin")
+      .orderBy("doc_id")
+  }
+
   /** Reclass ranges over n_chars (reference assigns f64 class values). */
   private val reclassCase =
     "CASE WHEN n_chars < 100 THEN 1.0e0 WHEN n_chars < 200 THEN 2.0e0 " +
@@ -58,35 +90,7 @@ object Relational {
     // global-order window anywhere; every float op mirrors the reference
     // (bin_size = ceil(range)/10000, cdf = 100·cum/n, q = floor(cdf/25),
     // q==k → k−1, output = q+1).
-    "quantiles" -> ((s, dir) => {
-      import s.implicits._
-      val k = 4
-      val p = Tables.pages(s, dir).select("doc_id", "n_chars")
-      val Array((mn, mx, n)) = p
-        .agg(expr("cast(min(n_chars) as bigint)"), expr("cast(max(n_chars) as bigint)"), count(lit(1)))
-        .as[(Long, Long, Long)].collect()
-      // degenerate range (all values equal) → binSize would be 0 and the
-      // bin expression divides by zero under ANSI; clamp to ≥1 bin width
-      // (everything lands in bin 0, quantile 1) — twin does the same.
-      val binSize = math.max(math.ceil((mx - mn).toDouble), 1.0) / 10000.0
-      val binExpr = "least(cast(floor(cast(n_chars - " + mn + " as double) / " +
-        graft.core.Lit.d(binSize) + ") as bigint), 9999)"
-      val hist = p.selectExpr(s"$binExpr AS bin")
-        .groupBy("bin").agg(count(lit(1)).as("c"))
-        .as[(Long, Long)].collect().sortBy(_._1)
-      var cum = 0L
-      val lut = hist.map { case (b, c) =>
-        cum += c
-        val cdf = (100.0 * cum.toDouble) / n.toDouble
-        var q = math.floor(cdf / (100.0 / k))
-        if (q == k.toDouble) q = (k - 1).toDouble
-        (b, q.toLong + 1L)
-      }.toSeq.toDF("bin0", "bin")
-      p.withColumn("bin0", expr(binExpr))
-        .join(broadcast(lut), "bin0")
-        .select("doc_id", "n_chars", "bin")
-        .orderBy("doc_id")
-    }),
+    "quantiles" -> ((s, dir) => quantilesK(s, dir, 4)),
 
     "cross_tabulation" -> ((s, dir) => {
       Tables.table(s, dir, "documents")
@@ -154,6 +158,22 @@ object Relational {
 
   private val pagesWith = s"WITH pages AS (${Geo.pagesCte(DuckD)})"
 
+  /** DuckDB twin of `quantilesK` — the reference 10k-bin histogram CDF,
+    * same float op order, parameterized by k (100/k is exact in binary
+    * for the gated k ∈ {4, 10}). */
+  private[ops] def quantilesDuckK(k: Int): String = {
+    val binE = "least(cast(floor(cast(n_chars - mn as double) / " +
+      "(greatest(ceil(cast(mx - mn as double)), 1.0e0) / 10000.0e0)) as bigint), 9999)"
+    val qE = s"floor(((100.0e0 * cum) / n) / ${graft.core.Lit.d(100.0 / k)})"
+    s"$pagesWith, ext AS (SELECT cast(min(n_chars) as bigint) AS mn, " +
+      "cast(max(n_chars) as bigint) AS mx, count(*) AS n FROM pages), " +
+      s"b AS (SELECT doc_id, n_chars, $binE AS bin FROM pages, ext), " +
+      "h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin), " +
+      "cm AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
+      s"q AS (SELECT bin, cast(CASE WHEN $qE = ${graft.core.Lit.d(k.toDouble)} THEN ${graft.core.Lit.d(k - 1.0)} ELSE $qE END as bigint) + 1 AS qbin FROM cm, ext) " +
+      "SELECT doc_id, n_chars, qbin AS bin FROM b JOIN q USING (bin) ORDER BY doc_id"
+  }
+
   def oracles: Map[String, String] = Map(
     "join_tables" ->
       ("SELECT c.c_custkey, c.c_name, t.last_total, t.last_date, " +
@@ -167,19 +187,7 @@ object Relational {
         "ORDER BY doc_id"),
     "reclass" ->
       s"$pagesWith SELECT doc_id, $reclassCase AS class FROM pages ORDER BY doc_id",
-    "quantiles" -> {
-      // twin of the reference 10k-bin histogram CDF; same float op order.
-      val binE = "least(cast(floor(cast(n_chars - mn as double) / " +
-        "(greatest(ceil(cast(mx - mn as double)), 1.0e0) / 10000.0e0)) as bigint), 9999)"
-      val qE = "floor(((100.0e0 * cum) / n) / 25.0e0)"
-      s"$pagesWith, ext AS (SELECT cast(min(n_chars) as bigint) AS mn, " +
-        "cast(max(n_chars) as bigint) AS mx, count(*) AS n FROM pages), " +
-        s"b AS (SELECT doc_id, n_chars, $binE AS bin FROM pages, ext), " +
-        "h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin), " +
-        "cm AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
-        s"q AS (SELECT bin, cast(CASE WHEN $qE = 4.0e0 THEN 3.0e0 ELSE $qE END as bigint) + 1 AS qbin FROM cm, ext) " +
-        "SELECT doc_id, n_chars, qbin AS bin FROM b JOIN q USING (bin) ORDER BY doc_id"
-    },
+    "quantiles" -> quantilesDuckK(4),
     "cross_tabulation" ->
       "SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2 ORDER BY lang, source",
     "list_unique_values" ->

@@ -203,7 +203,8 @@ object VectorOps {
     * (closing duplicate dropped), unit directions from the end segments,
     * both ends pushed out by 0.5. Identical strings both dialects via the
     * element accessors. */
-  private def extendSelect(d: graft.core.Dialect): Seq[String] = {
+  private[ops] def extendSelect(d: graft.core.Dialect, dist: Double = 0.5): Seq[String] = {
+    val dLit = graft.core.Lit.d(dist)
     def ex(i: String) = d.elemE("xs", i)
     def ey(i: String) = d.elemE("ys", i)
     val n = d.alen("xs")
@@ -215,10 +216,10 @@ object VectorOps {
     val dny = s"(${ey(m)} - ${ey(s"($m) - 1")})"
     val ln = s"sqrt($dnx * $dnx + $dny * $dny)"
     Seq(
-      s"CASE WHEN $l1 > 0.0e0 THEN ${ex("1")} - 0.5e0 * $d1x / $l1 END AS x0e",
-      s"CASE WHEN $l1 > 0.0e0 THEN ${ey("1")} - 0.5e0 * $d1y / $l1 END AS y0e",
-      s"CASE WHEN $ln > 0.0e0 THEN ${ex(m)} + 0.5e0 * $dnx / $ln END AS xne",
-      s"CASE WHEN $ln > 0.0e0 THEN ${ey(m)} + 0.5e0 * $dny / $ln END AS yne")
+      s"CASE WHEN $l1 > 0.0e0 THEN ${ex("1")} - $dLit * $d1x / $l1 END AS x0e",
+      s"CASE WHEN $l1 > 0.0e0 THEN ${ey("1")} - $dLit * $d1y / $l1 END AS y0e",
+      s"CASE WHEN $ln > 0.0e0 THEN ${ex(m)} + $dLit * $dnx / $ln END AS xne",
+      s"CASE WHEN $ln > 0.0e0 THEN ${ey(m)} + $dLit * $dny / $ln END AS yne")
   }
 
   /** wrap index k for window offset j around a closed part of n vertices:
@@ -227,16 +228,27 @@ object VectorOps {
   private def wrapIdx(j: String, n: String): String =
     s"(CASE WHEN ($j) < 1 THEN ($n) - (1 - ($j)) WHEN ($j) > ($n) THEN 1 + (($j) - ($n)) ELSE ($j) END)"
 
-  private def smoothTermSpark(arr: String): String = {
+  /** window offset strings i−r … i+r, spelled exactly as the historical
+    * r=1 text ("i - 1", "i", "i + 1"). */
+  private def winOffsets(r: Int): Seq[String] =
+    (-r to r).map {
+      case 0          => "i"
+      case o if o < 0 => s"i - ${-o}"
+      case o          => s"i + $o"
+    }
+
+  private[ops] def smoothTermSpark(arr: String, r: Int = 1): String = {
     val n = s"size($arr)"
-    val ks = Seq("i - 1", "i", "i + 1").map(j => wrapIdx(j, n))
-    ks.map(k => s"element_at($arr, cast($k as int))").mkString("(", " + ", s") / 3.0e0")
+    val ks = winOffsets(r).map(j => wrapIdx(j, n))
+    ks.map(k => s"element_at($arr, cast($k as int))")
+      .mkString("(", " + ", s") / ${graft.core.Lit.d(2 * r + 1.0)}")
   }
 
-  private def smoothTermDuck(arr: String): String = {
+  private[ops] def smoothTermDuck(arr: String, r: Int = 1): String = {
     val n = s"len($arr)"
-    val ks = Seq("i - 1", "i", "i + 1").map(j => wrapIdx(j, n))
-    ks.map(k => s"$arr[$k]").mkString("(", " + ", s") / 3.0e0")
+    val ks = winOffsets(r).map(j => wrapIdx(j, n))
+    ks.map(k => s"$arr[$k]")
+      .mkString("(", " + ", s") / ${graft.core.Lit.d(2 * r + 1.0)}")
   }
 
   // ---- distributed line-layer build (Spark side) -----------------------
