@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   * G=512 (same zExpr noise field, no corpus dependency), asserts their
   * outputs identical, and prints rounds + wall seconds per variant —
   * the PLANS.md §scale table is generated from this run.
+  *
+  * `faFrontier` is also production-gated: Hydro registers
+  * `d8_flow_accum_frontier` against the same recursive path-count
+  * DuckDB oracle as the Jacobi `d8_flow_accum`.
   */
 object FaScale {
 

@@ -131,20 +131,40 @@ object Hydro {
         rounds += 1
       }
       accum.orderBy("ix", "iy")
+    }),
+
+    // Same tool, the SCALE-PATH schedule: wavefront (frontier-only)
+    // accumulation — cells resolve in topological waves, every edge is
+    // aggregated exactly once (total edge work O(E) vs the Jacobi's
+    // O(E · depth)); measured 1.9× faster at G=512 (PLANS.md §scale,
+    // graft.ops.FaScale). Gated against the IDENTICAL recursive
+    // path-count oracle as d8_flow_accum, so the variant a 100×-grid
+    // deployment would pick is itself value-checked, not just asserted
+    // equal in the FaScale probe.
+    "d8_flow_accum_frontier" -> ((s, dir) => {
+      val dd = d8dirsKeep(s, dir)
+      val edges = dd.filter(col("dir") >= 0)
+        .select("ix", "iy", "tx", "ty").localCheckpoint()
+      val grid = dd.select("ix", "iy").localCheckpoint()
+      val (fa, _) = FaScale.faFrontier(grid, edges)
+      fa.orderBy("ix", "iy")
     })
   )
+
+  private val faOracle =
+    s"WITH RECURSIVE pages AS (${Geo.pagesCte(DuckD)}), ${densityG(DuckD)}, $duckDirs, " +
+      "e AS (SELECT ix, iy, tx, ty FROM dd WHERE dir >= 0), " +
+      "paths AS (SELECT ix AS sx, iy AS sy, ix AS cx, iy AS cy FROM dd " +
+      "UNION ALL SELECT p.sx, p.sy, e.tx, e.ty FROM paths p " +
+      "JOIN e ON e.ix = p.cx AND e.iy = p.cy) " +
+      "SELECT cx AS ix, cy AS iy, count(*) AS fa FROM paths GROUP BY 1, 2 ORDER BY ix, iy"
 
   def oracles: Map[String, String] = Map(
     "d8_pointer" ->
       (s"${pagesWith(DuckD)}, ${densityG(DuckD)}, $duckDirs " +
         "SELECT ix, iy, dir, CASE WHEN dir >= 0 THEN cast(pow(2.0e0, cast(dir as double)) as bigint) ELSE 0 END AS pointer " +
         "FROM dd ORDER BY ix, iy"),
-    "d8_flow_accum" ->
-      (s"WITH RECURSIVE pages AS (${Geo.pagesCte(DuckD)}), ${densityG(DuckD)}, $duckDirs, " +
-        "e AS (SELECT ix, iy, tx, ty FROM dd WHERE dir >= 0), " +
-        "paths AS (SELECT ix AS sx, iy AS sy, ix AS cx, iy AS cy FROM dd " +
-        "UNION ALL SELECT p.sx, p.sy, e.tx, e.ty FROM paths p " +
-        "JOIN e ON e.ix = p.cx AND e.iy = p.cy) " +
-        "SELECT cx AS ix, cy AS iy, count(*) AS fa FROM paths GROUP BY 1, 2 ORDER BY ix, iy")
+    "d8_flow_accum" -> faOracle,
+    "d8_flow_accum_frontier" -> faOracle
   )
 }
