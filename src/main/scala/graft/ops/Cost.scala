@@ -81,6 +81,40 @@ object Cost {
       }
     }
 
+  /** Frontier (changed-cells-only) Bellman–Ford: propose relaxations only
+    * from cells whose acc improved last round, starting from the sources.
+    * Reaches the SAME fixpoint as the Jacobi `accum` with bit-identical
+    * doubles: every candidate is the same left-to-right path sum
+    * (au + w), and min over an identical candidate set is exact for
+    * doubles — only the schedule differs. Per-round work is
+    * frontier-edge-local (the Jacobi re-aggregates every edge every
+    * round), the same O(E·depth) → O(E·improvements) collapse as
+    * FaScale.faFrontier; gated as `cost_distance_frontier` against the
+    * identical unrolled DuckDB twin as `cost_distance`. */
+  private[ops] def accumFrontier(s: SparkSession, dir: String): DataFrame = {
+    val we = wedges(s, dir).localCheckpoint()
+    var acc = Dem.fresh(Dem.dem(s, dir)
+      .join(sources(s, dir), Seq("ix", "iy"), "left")
+      .selectExpr("ix", "iy", s"CASE WHEN src IS NOT NULL THEN 0.0e0 ELSE $BIG END AS acc"))
+    // non-source cells start at BIG: a proposal from a BIG cell can never
+    // improve anything (BIG + w > BIG), so sources are the exact frontier.
+    var frontier = Dem.fresh(acc.filter(col("acc") === 0.0))
+    var waves = 0
+    while (!frontier.isEmpty) {
+      waves += 1
+      require(waves <= 4096, "cost frontier wave cap exceeded")
+      val cand = we
+        .join(frontier.selectExpr("ix AS ux", "iy AS uy", "acc AS au"), Seq("ux", "uy"))
+        .selectExpr("vx AS ix", "vy AS iy", "au + w AS c")
+        .groupBy("ix", "iy").agg(min("c").as("best"))
+      val next = Dem.fresh(acc.join(cand, Seq("ix", "iy"), "left")
+        .selectExpr("ix", "iy", "acc AS acc0", s"least(acc, coalesce(best, $BIG)) AS acc"))
+      frontier = Dem.fresh(next.filter(col("acc") < col("acc0")).select("ix", "iy", "acc"))
+      acc = Dem.fresh(next.select("ix", "iy", "acc"))
+    }
+    acc
+  }
+
   /** post-convergence backlink (vx,vy → bx,by), sources excluded. */
   private def backlink(s: SparkSession, dir: String): DataFrame =
     Dem.memo(s, dir, "cost_bl") {
@@ -99,6 +133,9 @@ object Cost {
 
     "cost_distance" -> ((s, dir) =>
       accum(s, dir).selectExpr("ix", "iy", "acc").orderBy("ix", "iy")),
+
+    "cost_distance_frontier" -> ((s, dir) =>
+      accumFrontier(s, dir).selectExpr("ix", "iy", "acc").orderBy("ix", "iy")),
 
     "cost_allocation" -> ((s, dir) => {
       val src = sources(s, dir)
@@ -169,6 +206,9 @@ object Cost {
   def oracles: Map[String, String] = Map(
 
     "cost_distance" -> (W() +
+      s"SELECT ix, iy, acc FROM a$costRounds ORDER BY ix, iy"),
+
+    "cost_distance_frontier" -> (W() +
       s"SELECT ix, iy, acc FROM a$costRounds ORDER BY ix, iy"),
 
     "cost_allocation" -> (W(
