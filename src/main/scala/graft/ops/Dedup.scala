@@ -160,28 +160,38 @@ object Dedup {
     // SimHash near-dup pairs via the 16-bit chunk-blocking join (with the
     // minhash-style hot-bucket cap before the self-join); oracle
     // brute-forces, proving the blocking lossless at fixture scale.
-    "dedup_simhash_pairs" -> ((s, dir) => {
-      val sh = simhashes(s, dir)
-      val chunks = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
-        explode(expr("sequence(0, 3)")).as("ci"))
-        .withColumn("chunk", expr(chunkExpr))
-      val hot = chunks.groupBy("ci", "chunk")
-        .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
-        .select("ci", "chunk")
-      val pruned = chunks.join(broadcast(hot), Seq("ci", "chunk"), "left_anti")
-      val l = pruned.toDF("ci", "chunk", "a", "lo_a", "hi_a")
-      val r = pruned.toDF("ci", "chunk", "b", "lo_b", "hi_b")
-      val hamming = s"bit_count(${SparkD.bitXor("lo_a", "lo_b")}) + " +
-        s"bit_count(${SparkD.bitXor("hi_a", "hi_b")})"
-      l.join(r, Seq("ci", "chunk"))
-        .filter(col("a") < col("b"))
-        .select("a", "b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
-        .filter(expr(s"($hamming) <= 3"))
-        .withColumn("hamming", expr(hamming))
-        .select("a", "b", "hamming")
-        .orderBy("a", "b")
-    })
+    "dedup_simhash_pairs" -> ((s, dir) => simhashPairs(s, dir, 3)),
+
+    // --max_hamming sweep point: the 4×16-bit pigeonhole blocking is
+    // lossless for any threshold ≤ 3, so the tighter gate runs the SAME
+    // candidate join with only the verify constant changed.
+    "dedup_simhash_pairs_h2" -> ((s, dir) => simhashPairs(s, dir, 2))
   )
+
+  /** Chunk-blocked simhash near-dup pairs at hamming ≤ maxH (maxH ≤ 3
+    * keeps the 4-chunk pigeonhole lossless: 4 equal-chunk misses need
+    * ≥ 4 differing bits). */
+  private def simhashPairs(s: SparkSession, dir: String, maxH: Int): DataFrame = {
+    val sh = simhashes(s, dir)
+    val chunks = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+      explode(expr("sequence(0, 3)")).as("ci"))
+      .withColumn("chunk", expr(chunkExpr))
+    val hot = chunks.groupBy("ci", "chunk")
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
+      .select("ci", "chunk")
+    val pruned = chunks.join(broadcast(hot), Seq("ci", "chunk"), "left_anti")
+    val l = pruned.toDF("ci", "chunk", "a", "lo_a", "hi_a")
+    val r = pruned.toDF("ci", "chunk", "b", "lo_b", "hi_b")
+    val hamming = s"bit_count(${SparkD.bitXor("lo_a", "lo_b")}) + " +
+      s"bit_count(${SparkD.bitXor("hi_a", "hi_b")})"
+    l.join(r, Seq("ci", "chunk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+      .filter(expr(s"($hamming) <= $maxH"))
+      .withColumn("hamming", expr(hamming))
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
 
   private def duckBandRows: String =
     "bandrows AS (" + (0 until bands).map(b =>
@@ -214,15 +224,20 @@ object Dedup {
         "LEFT JOIN cm ON cm.a = c.a AND cm.b = c.b ORDER BY c.a, c.b"),
     "dedup_simhash" ->
       (s"WITH ${simhashTable(DuckD)} SELECT doc_id, simhash_lo, simhash_hi FROM sh ORDER BY doc_id"),
-    "dedup_simhash_pairs" -> {
-      val hamming = s"bit_count(${DuckD.bitXor("a.simhash_lo", "b.simhash_lo")}) + " +
-        s"bit_count(${DuckD.bitXor("a.simhash_hi", "b.simhash_hi")})"
-      s"WITH ${simhashTable(DuckD)} " +
-        "SELECT a.doc_id AS a, b.doc_id AS b, " +
-        s"($hamming) AS hamming " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        s"WHERE ($hamming) <= 3 " +
-        "ORDER BY a, b"
-    }
+    "dedup_simhash_pairs" -> simhashPairsDuck(3),
+    "dedup_simhash_pairs_h2" -> simhashPairsDuck(2)
   )
+
+  /** brute-force all-pairs twin at hamming ≤ maxH (proves the chunk
+    * blocking lossless at the gated thresholds). */
+  private def simhashPairsDuck(maxH: Int): String = {
+    val hamming = s"bit_count(${DuckD.bitXor("a.simhash_lo", "b.simhash_lo")}) + " +
+      s"bit_count(${DuckD.bitXor("a.simhash_hi", "b.simhash_hi")})"
+    s"WITH ${simhashTable(DuckD)} " +
+      "SELECT a.doc_id AS a, b.doc_id AS b, " +
+      s"($hamming) AS hamming " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      s"WHERE ($hamming) <= $maxH " +
+      "ORDER BY a, b"
+  }
 }
