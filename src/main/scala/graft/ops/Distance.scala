@@ -133,10 +133,25 @@ object Distance {
   }
 
   private val srcCond = "v >= 8"
+  private val srcCondSparse = "v >= 30"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "euclidean_distance" -> ((s, dir) =>
       euclidean(s, Raster.density(s, dir, 6), srcCond)
+        .select("ix", "iy", "d2").orderBy("ix", "iy")),
+
+    // Coarsening-knob invariance: the SAME output at B=4 — the kr refine
+    // bound (⌊√d²⌋+3, header proof) must hold at every B, so this gate
+    // pins it on a second coarse geometry against the identical
+    // brute-force twin (the round-4 bound bug lived exactly here).
+    "euclidean_distance_b4" -> ((s, dir) =>
+      euclidean(s, Raster.density(s, dir, 6), srcCond, coarse = 4)
+        .select("ix", "iy", "d2").orderBy("ix", "iy")),
+
+    // Sparser sources (1-2 cells match v >= 30): larger coarse rings and
+    // kr radii than the 3-source default exercises.
+    "euclidean_distance_sparse" -> ((s, dir) =>
+      euclidean(s, Raster.density(s, dir, 6), srcCondSparse)
         .select("ix", "iy", "d2").orderBy("ix", "iy")),
     "euclidean_allocation" -> ((s, dir) => {
       val g = Raster.density(s, dir, 6)
@@ -150,21 +165,25 @@ object Distance {
 
   // ---- DuckDB twins: brute-force min over all (cell, source) pairs ------
 
-  private def base(d: Dialect): String =
+  private def base(d: Dialect, cond: String = srcCond): String =
     s"WITH pages AS (${Geo.pagesCte(d)}), " +
       s"g AS (SELECT ${Geo.ix(d, "lon", 6)} AS ix, ${Geo.iy(d, "lat", 6)} AS iy, " +
       "count(*) AS v FROM pages GROUP BY 1, 2), " +
-      s"srcs AS (SELECT ix AS sx, iy AS sy, v AS sv FROM g WHERE $srcCond), " +
+      s"srcs AS (SELECT ix AS sx, iy AS sy, v AS sv FROM g WHERE $cond), " +
       // LEFT JOIN ON true so a source-free grid yields every cell with a
       // NULL key (matching the Spark nullOut path) instead of zero rows.
       "b AS (SELECT c.ix, c.iy, " +
       "min(((c.ix - sx) * (c.ix - sx) + (c.iy - sy) * (c.iy - sy)) * 4294967296 + (sx * 1000000 + sy)) AS key " +
       "FROM g c LEFT JOIN srcs ON true GROUP BY 1, 2)"
 
+  private def distSelect(cond: String): String =
+    s"${base(DuckD, cond)} SELECT ix, iy, cast(key // 4294967296 as bigint) AS d2 " +
+      "FROM b ORDER BY ix, iy"
+
   def oracles: Map[String, String] = Map(
-    "euclidean_distance" ->
-      (s"${base(DuckD)} SELECT ix, iy, cast(key // 4294967296 as bigint) AS d2 " +
-        "FROM b ORDER BY ix, iy"),
+    "euclidean_distance" -> distSelect(srcCond),
+    "euclidean_distance_b4" -> distSelect(srcCond),
+    "euclidean_distance_sparse" -> distSelect(srcCondSparse),
     "euclidean_allocation" ->
       (s"${base(DuckD)} SELECT ix, iy, " +
         "cast((key % 4294967296) // 1000000 as bigint) AS src_ix, " +

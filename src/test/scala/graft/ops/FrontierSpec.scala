@@ -32,6 +32,23 @@ class FrontierSpec extends SparkSpec {
       "min over identical left-to-right path sums must be exact")
   }
 
+  test("euclidean distance is invariant to the coarse bucket side B") {
+    val b8 = q("euclidean_distance")
+    val b4 = q("euclidean_distance_b4")
+    assert(b8.count() > 0)
+    assert(b8.exceptAll(b4).isEmpty && b4.exceptAll(b8).isEmpty,
+      "B is a work knob, never a value knob — the kr bound must cover both")
+  }
+
+  test("sparser sources only increase every cell's nearest-source distance") {
+    val dflt = q("euclidean_distance").withColumnRenamed("d2", "d2a")
+    val sparse = q("euclidean_distance_sparse").withColumnRenamed("d2", "d2b")
+    val j = dflt.join(sparse, Seq("ix", "iy"))
+    assert(j.filter(col("d2b") < col("d2a")).count() == 0,
+      "shrinking the source set cannot bring any cell closer to a source")
+    assert(j.filter(col("d2b") > col("d2a")).count() > 0, "sweep must not be vacuous")
+  }
+
   test("simhash pairs at hamming<=2 are exactly the <=2 subset of <=3") {
     val h3 = q("dedup_simhash_pairs")
     val h2 = q("dedup_simhash_pairs_h2")
