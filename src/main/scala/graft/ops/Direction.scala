@@ -193,6 +193,9 @@ object Direction {
   private val az45 = Az(45)
   private val az215 = Az(215)
   private val az135 = Az(135)
+  // fourth octant (xs = -1, ys = +1, negative slope m) — no other gate
+  // walks this sign combination of the quadrant rules
+  private val az330 = Az(330)
 
   private def serCte(d: Dialect): String = d match {
     case DuckD => s"ser AS (SELECT unnest(range(1, $G)) AS t)"
@@ -213,6 +216,8 @@ object Direction {
     "horizon_angle_az45" -> ((s, dir) => sparkRun(s, dir, horizonSql(az45))),
     "horizon_angle_az215" -> ((s, dir) => sparkRun(s, dir, horizonSql(az215))),
     "fetch_analysis_az215" -> ((s, dir) => sparkRun(s, dir, fetchSql(az215))),
+    "horizon_angle_az330" -> ((s, dir) => sparkRun(s, dir, horizonSql(az330))),
+    "fetch_analysis_az45" -> ((s, dir) => sparkRun(s, dir, fetchSql(az45))),
     "directional_relief" -> ((s, dir) => sparkRun(s, dir, reliefSql(az135))),
     "viewshed_stations" -> ((s, dir) => sparkRunV(s, dir, viewshedStationsSql)),
     "visibility_index" -> ((s, dir) => sparkRunV(s, dir, visibilityIndexSql))
@@ -225,6 +230,8 @@ object Direction {
     "horizon_angle_az45" -> duck(horizonSql(az45)),
     "horizon_angle_az215" -> duck(horizonSql(az215)),
     "fetch_analysis_az215" -> duck(fetchSql(az215)),
+    "horizon_angle_az330" -> duck(horizonSql(az330)),
+    "fetch_analysis_az45" -> duck(fetchSql(az45)),
     "directional_relief" -> duck(reliefSql(az135)),
     "viewshed_stations" -> s"WITH RECURSIVE ${Dem.duckDemCtes}, ${viewshedStationsSql(DuckD)}",
     "visibility_index" -> s"WITH RECURSIVE ${Dem.duckDemCtes}, ${visibilityIndexSql(DuckD)}"

@@ -136,21 +136,7 @@ object Hydro3 {
           s"(${lenOf("a", "b")}) / cast(nfp as double) AS avg_upslope_len")
         .orderBy("ix", "iy")),
 
-    "snap_pour_points" -> ((s, dir) => {
-      val sp = s
-      import sp.implicits._
-      val raw = seedRows.toDF("px", "py", "pid")
-      val fa = Dem.fa(s, dir)
-      raw.withColumn("dx", explode(sequence(lit(-2), lit(2))))
-        .withColumn("dy", explode(sequence(lit(-2), lit(2))))
-        .selectExpr("pid", "px + dx AS ix", "py + dy AS iy")
-        .join(fa, Seq("ix", "iy"))
-        .groupBy("pid")
-        .agg(expr("min_by(named_struct('sx', ix, 'sy', iy), " +
-          "named_struct('nf', -fa, 'sx', ix, 'sy', iy))").as("b"))
-        .selectExpr("pid", "b.sx AS sx", "b.sy AS sy")
-        .orderBy("pid")
-    }),
+    "snap_pour_points" -> ((s, dir) => snapPour(s, dir, 2)),
 
     "trace_downslope_flowpaths" -> ((s, dir) => {
       val sp = s
@@ -198,6 +184,33 @@ object Hydro3 {
       "UNION ALL SELECT e.ix, e.iy, w.nc + e.ec, w.nd + e.ed, w.zs FROM sw w " +
       "JOIN e ON e.tx = w.ix AND e.ty = w.iy " +
       "LEFT JOIN st s2 ON s2.ix = e.ix AND s2.iy = e.iy WHERE s2.ix IS NULL)"
+
+  /** SnapPourPoints --snap_dist (snap_pour_points.rs): highest-fa cell in
+    * the (2r+1)² window around each gauge seed; min_by packed struct keeps
+    * the (−fa, ix, iy) tie rule identical on both engines. */
+  private[ops] def snapPour(s: SparkSession, dir: String, r: Int): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val raw = seedRows.toDF("px", "py", "pid")
+    val fa = Dem.fa(s, dir)
+    raw.withColumn("dx", explode(sequence(lit(-r), lit(r))))
+      .withColumn("dy", explode(sequence(lit(-r), lit(r))))
+      .selectExpr("pid", "px + dx AS ix", "py + dy AS iy")
+      .join(fa, Seq("ix", "iy"))
+      .groupBy("pid")
+      .agg(expr("min_by(named_struct('sx', ix, 'sy', iy), " +
+        "named_struct('nf', -fa, 'sx', ix, 'sy', iy))").as("b"))
+      .selectExpr("pid", "b.sx AS sx", "b.sy AS sy")
+      .orderBy("pid")
+  }
+
+  private[ops] def snapPourDuck(r: Int): String = W(
+    s"raw AS (SELECT * FROM (VALUES $seedValues) r(px, py, pid))",
+    "sn AS (SELECT pid, fa.ix AS sx, fa.iy AS sy, " +
+      "row_number() OVER (PARTITION BY pid ORDER BY fa.fa DESC, fa.ix, fa.iy) AS rn " +
+      s"FROM raw JOIN fa ON fa.ix BETWEEN raw.px - $r AND raw.px + $r " +
+      s"AND fa.iy BETWEEN raw.py - $r AND raw.py + $r)") +
+    "SELECT pid, sx, sy FROM sn WHERE rn = 1 ORDER BY pid"
 
   private val divRounds = 40
 
@@ -254,13 +267,7 @@ object Hydro3 {
       s"SELECT ix, iy, (${lenOf("a", "b")}) / cast(nfp as double) AS avg_upslope_len " +
       s"FROM v$divRounds ORDER BY ix, iy"),
 
-    "snap_pour_points" -> (W(
-      s"raw AS (SELECT * FROM (VALUES $seedValues) r(px, py, pid))",
-      "sn AS (SELECT pid, fa.ix AS sx, fa.iy AS sy, " +
-        "row_number() OVER (PARTITION BY pid ORDER BY fa.fa DESC, fa.ix, fa.iy) AS rn " +
-        "FROM raw JOIN fa ON fa.ix BETWEEN raw.px - 2 AND raw.px + 2 " +
-        "AND fa.iy BETWEEN raw.py - 2 AND raw.py + 2)") +
-      "SELECT pid, sx, sy FROM sn WHERE rn = 1 ORDER BY pid"),
+    "snap_pour_points" -> snapPourDuck(2),
 
     "trace_downslope_flowpaths" -> (W(
       s"seeds AS (SELECT px AS ix, py AS iy FROM (VALUES $seedValues) r(px, py, pid))",

@@ -51,10 +51,30 @@ object Lidar2 {
         s"cast(${Geo.h3(SparkD)} % 41 - 20 as bigint) AS scan_angle")
   }
 
-  private val cellIxE = s"cast(floor((x - (-74.05e0)) / ${Lit.d(res)}) as bigint)"
-  private val cellIyE = s"cast(floor((y - 40.65e0) / ${Lit.d(res)}) as bigint)"
+  private def cellIx(rv: Double) = s"cast(floor((x - (-74.05e0)) / ${Lit.d(rv)}) as bigint)"
+  private def cellIy(rv: Double) = s"cast(floor((y - 40.65e0) / ${Lit.d(rv)}) as bigint)"
+  private val cellIxE = cellIx(res)
+  private val cellIyE = cellIy(res)
   private val tileIxE = s"cast(floor((x - (-74.05e0)) / ${Lit.d(tileRes)}) as bigint)"
   private val tileIyE = s"cast(floor((y - 40.65e0) / ${Lit.d(tileRes)}) as bigint)"
+  /** LidarThin --resolution (lidar_thin.rs): ONE point kept per grid cell
+    * of side `rv`, lowest (z, id) wins — min_by packed struct vs the
+    * twin's row_number, the identical tie rule. */
+  private[ops] def thin(s: SparkSession, dir: String, rv: Double): DataFrame =
+    pts(s, dir)
+      .selectExpr("id", "z", s"${cellIx(rv)} AS ix", s"${cellIy(rv)} AS iy")
+      .groupBy("ix", "iy")
+      .agg(expr("min_by(named_struct('id', id, 'z', z), named_struct('z', z, 'id', id))").as("b"))
+      .selectExpr("ix", "iy", "b.id AS doc_id", "b.z AS z")
+      .orderBy("ix", "iy")
+
+  private[ops] def thinDuck(rv: Double): String =
+    s"${pagesWith(DuckD)}, ${ptsSql(DuckD)}, " +
+      s"g AS (SELECT id, z, ${cellIx(rv)} AS ix, ${cellIy(rv)} AS iy, " +
+      "row_number() OVER (PARTITION BY " +
+      s"${cellIx(rv)}, ${cellIy(rv)} ORDER BY z, id) AS rn FROM pts) " +
+      "SELECT ix, iy, id AS doc_id, z FROM g WHERE rn = 1 ORDER BY ix, iy"
+
   private def centreX(ix: String) = s"(-74.05e0 + (cast($ix as double) + 0.5e0) * ${Lit.d(res)})"
   private def centreY(iy: String) = s"(40.65e0 + (cast($iy as double) + 0.5e0) * ${Lit.d(res)})"
 
@@ -84,13 +104,7 @@ object Lidar2 {
         .orderBy("ix", "iy")
     }),
 
-    "lidar_thin" -> ((s, dir) =>
-      pts(s, dir)
-        .selectExpr("id", "z", s"$cellIxE AS ix", s"$cellIyE AS iy")
-        .groupBy("ix", "iy")
-        .agg(expr("min_by(named_struct('id', id, 'z', z), named_struct('z', z, 'id', id))").as("b"))
-        .selectExpr("ix", "iy", "b.id AS doc_id", "b.z AS z")
-        .orderBy("ix", "iy")),
+    "lidar_thin" -> ((s, dir) => thin(s, dir, res)),
 
     "lidar_tile_footprint" -> ((s, dir) =>
       pts(s, dir)
@@ -222,12 +236,7 @@ object Lidar2 {
         s"SELECT cix AS ix, ciy AS iy, cast(n as double) / ($pi * $r2) AS density " +
         "FROM hits ORDER BY ix, iy"),
 
-    "lidar_thin" ->
-      (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)}, " +
-        s"g AS (SELECT id, z, $cellIxE AS ix, $cellIyE AS iy, " +
-        "row_number() OVER (PARTITION BY " +
-        s"$cellIxE, $cellIyE ORDER BY z, id) AS rn FROM pts) " +
-        "SELECT ix, iy, id AS doc_id, z FROM g WHERE rn = 1 ORDER BY ix, iy"),
+    "lidar_thin" -> thinDuck(res),
 
     "lidar_tile_footprint" ->
       (s"${pagesWith(DuckD)}, ${ptsSql(DuckD)} " +
