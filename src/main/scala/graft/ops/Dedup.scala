@@ -165,7 +165,44 @@ object Dedup {
     // --max_hamming sweep point: the 4×16-bit pigeonhole blocking is
     // lossless for any threshold ≤ 3, so the tighter gate runs the SAME
     // candidate join with only the verify constant changed.
-    "dedup_simhash_pairs_h2" -> ((s, dir) => simhashPairs(s, dir, 2))
+    "dedup_simhash_pairs_h2" -> ((s, dir) => simhashPairs(s, dir, 2)),
+
+    // Duplicate-cluster representatives: connected components over the
+    // VERIFIED near-dup pairs (jaccard ≥ 0.5), each doc labelled with its
+    // component minimum — the "keep one copy per duplicate cluster" stage
+    // every web-dedup pipeline ends with. Min-label propagation (the
+    // Clump/basin pointer-jumping family): per round one equi-join of the
+    // edge list to the label frame + one min aggregate, O(component
+    // diameter) rounds — near-dup clusters are shallow (pairs chain
+    // through shared shingle cores), and the hot-bucket caps upstream
+    // bound any single component's size, so no giant-component round
+    // blow-up at corpus scale. Convergence asserted; twin re-derives
+    // labels by full recursive transitive closure (round-free).
+    "dedup_clusters" -> ((s, dir) => {
+      val jp = queries("dedup_ngram_jaccard")(s, dir)
+        .filter("jaccard >= 0.5e0").select("a", "b")
+      val e = jp.unionByName(jp.selectExpr("b AS a", "a AS b")).localCheckpoint()
+      var lab = e.selectExpr("a AS d").distinct()
+        .selectExpr("d", "d AS rep").localCheckpoint()
+      var done = false
+      var rounds = 0
+      while (!done && rounds < 16) {
+        val nbrMin = e.toDF("d", "nb")
+          .join(lab.selectExpr("d AS nb", "rep AS nrep"), "nb")
+          .groupBy("d").agg(min("nrep").as("mn"))
+        val next = lab.join(nbrMin, Seq("d"), "left")
+          .selectExpr("d", "least(rep, coalesce(mn, rep)) AS rep")
+          .localCheckpoint()
+        done = next.exceptAll(lab).isEmpty && next.count() == lab.count()
+        lab = next
+        rounds += 1
+      }
+      require(done, "dedup cluster label propagation must converge")
+      val sz = lab.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+      lab.join(sz, "rep")
+        .selectExpr("d AS doc_id", "rep", "cluster_size")
+        .orderBy("doc_id")
+    })
   )
 
   /** Chunk-blocked simhash near-dup pairs at hamming ≤ maxH (maxH ≤ 3
@@ -225,7 +262,22 @@ object Dedup {
     "dedup_simhash" ->
       (s"WITH ${simhashTable(DuckD)} SELECT doc_id, simhash_lo, simhash_hi FROM sh ORDER BY doc_id"),
     "dedup_simhash_pairs" -> simhashPairsDuck(3),
-    "dedup_simhash_pairs_h2" -> simhashPairsDuck(2)
+    "dedup_simhash_pairs_h2" -> simhashPairsDuck(2),
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $duckSignatures, $duckCand, " +
+        s"shs AS (SELECT doc_id, unnest(list_distinct(${DuckD.shingles("text")})) AS sh FROM documents), " +
+        "cm AS (SELECT c.a, c.b, count(*) AS common FROM cand c " +
+        "JOIN shs sa ON sa.doc_id = c.a JOIN shs sb ON sb.doc_id = c.b AND sb.sh = sa.sh " +
+        "GROUP BY c.a, c.b), " +
+        "sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id), " +
+        "jp AS (SELECT c.a, c.b FROM cand c JOIN sizes za ON za.doc_id = c.a " +
+        "JOIN sizes zb ON zb.doc_id = c.b JOIN cm ON cm.a = c.a AND cm.b = c.b " +
+        "WHERE cast(cm.common as double) / cast(za.nsh + zb.nsh - cm.common as double) >= 0.5e0), " +
+        "e AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp), " +
+        "reach AS (SELECT a AS s, a AS t FROM e UNION SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t), " +
+        "lab AS (SELECT s AS doc_id, min(t) AS rep FROM reach GROUP BY s), " +
+        "sz AS (SELECT rep, count(*) AS cluster_size FROM lab GROUP BY rep) " +
+        "SELECT l.doc_id, l.rep, s2.cluster_size FROM lab l JOIN sz s2 ON s2.rep = l.rep ORDER BY l.doc_id")
   )
 
   /** brute-force all-pairs twin at hamming ≤ maxH (proves the chunk
