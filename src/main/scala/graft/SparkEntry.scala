@@ -54,7 +54,8 @@ object SparkEntry {
       graft.ops.Terrain4.queries ++ graft.ops.Polygonize.queries ++
       graft.ops.Stochastic.queries ++ graft.ops.CellMath.queries ++
       graft.ops.ParamSweeps.queries ++ graft.ops.ParamSweeps2.queries ++
-      graft.ops.ParamSweeps3.queries ++ graft.ops.Sibson.queries ++ Map(
+      graft.ops.ParamSweeps3.queries ++ graft.ops.Sibson.queries ++
+      graft.ops.Pipeline.queries ++ Map(
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
@@ -193,7 +194,8 @@ object SparkEntry {
       graft.ops.Terrain4.oracles ++ graft.ops.Polygonize.oracles ++
       graft.ops.Stochastic.oracles ++ graft.ops.CellMath.oracles ++
       graft.ops.ParamSweeps.oracles ++ graft.ops.ParamSweeps2.oracles ++
-      graft.ops.ParamSweeps3.oracles ++ graft.ops.Sibson.oracles ++ Map(
+      graft.ops.ParamSweeps3.oracles ++ graft.ops.Sibson.oracles ++
+      graft.ops.Pipeline.oracles ++ Map(
         "minimum_bounding_circle" -> graft.ops.HardOracles.circleSql,
         "kmeans_clustering" -> graft.ops.HardOracles.kmeansSql(),
         "modified_kmeans_clustering" -> graft.ops.HardOracles.modifiedKmeansSql(),

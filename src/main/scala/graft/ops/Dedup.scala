@@ -230,6 +230,25 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Shared CTE chain ending at `lab(doc_id, rep)` — the near-dup
+    * cluster labels (verified pairs → symmetric edges → recursive
+    * transitive closure → component-min rep). Requires WITH RECURSIVE.
+    * Reused by the dedup_clusters twin and the corpus_clean pipeline
+    * twins (Pipeline.scala), so the two gates prove the SAME SQL. */
+  private[ops] def duckClusterCtes: String =
+    s"$duckSignatures, $duckCand, " +
+      s"shs AS (SELECT doc_id, unnest(list_distinct(${DuckD.shingles("text")})) AS sh FROM documents), " +
+      "cm AS (SELECT c.a, c.b, count(*) AS common FROM cand c " +
+      "JOIN shs sa ON sa.doc_id = c.a JOIN shs sb ON sb.doc_id = c.b AND sb.sh = sa.sh " +
+      "GROUP BY c.a, c.b), " +
+      "sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id), " +
+      "jp AS (SELECT c.a, c.b FROM cand c JOIN sizes za ON za.doc_id = c.a " +
+      "JOIN sizes zb ON zb.doc_id = c.b JOIN cm ON cm.a = c.a AND cm.b = c.b " +
+      "WHERE cast(cm.common as double) / cast(za.nsh + zb.nsh - cm.common as double) >= 0.5e0), " +
+      "e AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp), " +
+      "reach AS (SELECT a AS s, a AS t FROM e UNION SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t), " +
+      "lab AS (SELECT s AS doc_id, min(t) AS rep FROM reach GROUP BY s)"
+
   private def duckBandRows: String =
     "bandrows AS (" + (0 until bands).map(b =>
       s"SELECT doc_id, $b AS band, m${2 * b} AS h1, m${2 * b + 1} AS h2 FROM sigs")
@@ -264,18 +283,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsDuck(3),
     "dedup_simhash_pairs_h2" -> simhashPairsDuck(2),
     "dedup_clusters" ->
-      (s"WITH RECURSIVE $duckSignatures, $duckCand, " +
-        s"shs AS (SELECT doc_id, unnest(list_distinct(${DuckD.shingles("text")})) AS sh FROM documents), " +
-        "cm AS (SELECT c.a, c.b, count(*) AS common FROM cand c " +
-        "JOIN shs sa ON sa.doc_id = c.a JOIN shs sb ON sb.doc_id = c.b AND sb.sh = sa.sh " +
-        "GROUP BY c.a, c.b), " +
-        "sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id), " +
-        "jp AS (SELECT c.a, c.b FROM cand c JOIN sizes za ON za.doc_id = c.a " +
-        "JOIN sizes zb ON zb.doc_id = c.b JOIN cm ON cm.a = c.a AND cm.b = c.b " +
-        "WHERE cast(cm.common as double) / cast(za.nsh + zb.nsh - cm.common as double) >= 0.5e0), " +
-        "e AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp), " +
-        "reach AS (SELECT a AS s, a AS t FROM e UNION SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t), " +
-        "lab AS (SELECT s AS doc_id, min(t) AS rep FROM reach GROUP BY s), " +
+      (s"WITH RECURSIVE $duckClusterCtes, " +
         "sz AS (SELECT rep, count(*) AS cluster_size FROM lab GROUP BY rep) " +
         "SELECT l.doc_id, l.rep, s2.cluster_size FROM lab l JOIN sz s2 ON s2.rep = l.rep ORDER BY l.doc_id")
   )

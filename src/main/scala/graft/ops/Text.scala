@@ -20,21 +20,21 @@ object Text {
   /** occurrences of literal `m` in `t` via the replace trick; the double
     * division is exact (numerator is a multiple of length(m)) and `/` is
     * double division in both dialects */
-  private def occ(t: String, m: String): String =
+  private[ops] def occ(t: String, m: String): String =
     s"cast((length($t) - length(replace($t, '$m', ''))) / ${m.length} as bigint)"
 
   // language marker words (heuristic; scored per language, argmax wins)
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[ops] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of "),
     "de" -> Seq(" der ", " und ", " die "),
     "fr" -> Seq(" le ", " et ", " les "),
     "es" -> Seq(" el ", " y ", " los "))
 
-  private def langScore(ms: Seq[String]): String =
+  private[ops] def langScore(ms: Seq[String]): String =
     ms.map(m => occ("text", m)).mkString("(", " + ", ")")
 
   /** argmax over language scores, first-wins ties, 'und' if all zero */
-  private val langIdCase: String = {
+  private[ops] val langIdCase: String = {
     val scores = markers.map { case (l, ms) => l -> langScore(ms) }
     val best = scores.map(_._2).mkString("greatest(", ", ", ")")
     val picks = scores.map { case (l, sc) =>
@@ -43,7 +43,7 @@ object Text {
     s"(CASE $picks ELSE 'und' END)"
   }
 
-  private def tokenCount(d: Dialect): String = {
+  private[ops] def tokenCount(d: Dialect): String = {
     val arr = d.tokens("text")
     d match {
       case SparkD => s"cast(size($arr) as bigint)"
