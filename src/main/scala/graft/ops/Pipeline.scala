@@ -79,6 +79,18 @@ object Pipeline {
         expr("count(*) FILTER (WHERE lang_ok AND q_ok)").as("n_quality"),
         expr("count(*) FILTER (WHERE lang_ok AND q_ok AND x_ok)").as("n_exact"),
         expr("count(*) FILTER (WHERE lang_ok AND q_ok AND x_ok AND nd_ok)").as("n_clean"))
+    }),
+
+    // Token-volume accounting: surviving docs AND surviving whitespace
+    // tokens — the data-volume line a training-data run reports (docs
+    // kept is not the number that matters downstream; tokens kept is).
+    // Reuses token_count's gated per-doc counts; one aggregate row.
+    "corpus_clean_tokens" -> ((s, dir) => {
+      val toks = Text.queries("token_count")(s, dir).select("doc_id", "n_ws_tokens")
+      annotated(s, dir).filter("lang_ok AND q_ok AND x_ok AND nd_ok")
+        .join(toks, "doc_id")
+        .agg(expr("count(*)").as("n_docs"),
+          expr("cast(sum(n_ws_tokens) as bigint)").as("n_tokens"))
     })
   )
 
@@ -125,6 +137,14 @@ object Pipeline {
         "count(*) FILTER (WHERE lang_ok AND q_ok) AS n_quality, " +
         "count(*) FILTER (WHERE lang_ok AND q_ok AND x_ok) AS n_exact, " +
         "count(*) FILTER (WHERE lang_ok AND q_ok AND x_ok AND nd_ok) AS n_clean " +
-        "FROM ann")
+        "FROM ann"),
+    // t.n_tok IS the whitespace token count token_count gates as
+    // n_ws_tokens (same Dialect.tokens constant), so the twin reuses the
+    // quality CTE's t rather than re-deriving it.
+    "corpus_clean_tokens" ->
+      (s"WITH RECURSIVE $duckAnn " +
+        "SELECT count(*) AS n_docs, cast(sum(t.n_tok) as bigint) AS n_tokens " +
+        "FROM ann JOIN t ON t.doc_id = ann.doc_id " +
+        "WHERE ann.lang_ok AND ann.q_ok AND ann.x_ok AND ann.nd_ok")
   )
 }

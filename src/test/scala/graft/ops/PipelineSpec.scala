@@ -43,6 +43,17 @@ class PipelineSpec extends SparkSpec {
     assert(nExact == nQuality, "fixture contract: no exact duplicates")
   }
 
+  test("token accounting agrees with the token_count gate over the survivors") {
+    val t = q("corpus_clean_tokens").head
+    val survivors = q("corpus_clean").select("doc_id")
+    val expectTokens = q("token_count").join(survivors, "doc_id")
+      .agg(sum("n_ws_tokens")).head.getLong(0)
+    assert(t.getLong(t.fieldIndex("n_docs")) == survivors.count(),
+      "token gate's doc count must match the survivor table")
+    assert(t.getLong(t.fieldIndex("n_tokens")) == expectTokens,
+      "surviving token volume must be the survivor-joined token_count sum")
+  }
+
   test("funnel n_clean equals the clean-corpus row count") {
     val f = q("corpus_clean_funnel").head
     assert(f.getLong(f.fieldIndex("n_clean")) == q("corpus_clean").count(),
