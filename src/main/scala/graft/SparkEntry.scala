@@ -59,9 +59,11 @@ object SparkEntry {
         // MinimumBoundingCircle (Welzl result via exhaustive hull
         // candidates; oracle = HardOracles.circleSql structural twin).
         "minimum_bounding_circle" -> ((s: SparkSession, dir: String) => {
-          val p = Tables.pages(s, dir)
-          val pts = PipJoin.zoneMembership(s, p)
-            .join(p.select("doc_id", "lon", "lat"), "doc_id")
+          // lon/lat carried through the membership join (keep=) instead of
+          // re-scanning pages and re-joining on doc_id — same rows, one
+          // scan and one join fewer (r06 optimization round).
+          val pts = PipJoin.zoneMembership(s, Tables.pages(s, dir),
+              keep = Seq("lon", "lat"))
             .select(col("fid"), col("lon").as("x"), col("lat").as("y"))
           graft.ops.Hull.featureCircles(s, pts)
             .selectExpr("fid", "round(ccx, 6) AS ccx", "round(ccy, 6) AS ccy",
@@ -95,9 +97,9 @@ object SparkEntry {
             mergeD2 = 64.0).orderBy("id")
         }),
         "minimum_convex_hull" -> ((s: SparkSession, dir: String) => {
-          val p = Tables.pages(s, dir)
-          val pts = PipJoin.zoneMembership(s, p)
-            .join(p.select("doc_id", "lon", "lat"), "doc_id")
+          // single-scan membership carry, as in minimum_bounding_circle
+          val pts = PipJoin.zoneMembership(s, Tables.pages(s, dir),
+              keep = Seq("lon", "lat"))
             .select(col("fid"), col("lon").as("x"), col("lat").as("y"))
           // rounded: the oracle recomputes the hull by Jarvis march (same
           // vertex sequence as the Graham clone) but its area/calipers

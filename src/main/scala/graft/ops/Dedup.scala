@@ -53,7 +53,17 @@ object Dedup {
     * bit-equality against the exploded twin-SQL form, which remains the
     * DuckDB oracle). */
   private[ops] def signatures(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "documents")
+    // Tables.spread: the fixture `documents` is one parquet file = one scan
+    // split, so the whole MinHash pass (one md5 per shingle ≈ 290
+    // digests/doc — the dominant cost of this query family) ran on a
+    // single core. Spreading by doc_id moves only (doc_id, text) — a few
+    // hundred KB at fixture scale — and parallelizes the digest work; at
+    // corpus scale the scan already has enough splits and spread is the
+    // identity (no payload shuffle). Results unchanged: the minhash is a
+    // per-row expression and every consumer aggregates/sorts on integer
+    // keys (order-insensitive; CappedList overflow drops whole buckets
+    // regardless of member order).
+    Tables.spread(Tables.table(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), graft.expr.MinHash.minhash16(col("text")).as("mh"))
       .selectExpr(("doc_id" +: (0 until nHashes).map(j => s"mh[$j] AS m$j")): _*)
 
@@ -85,7 +95,10 @@ object Dedup {
   }
 
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.table(s, dir, "documents")
+    // Tables.spread: parallelize the token explode + 2 md5/token off the
+    // single-file scan split (same rationale as `signatures`); the sign
+    // sums are integer aggregates — order-insensitive.
+    val toks = Tables.spread(Tables.table(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), explode(expr(SparkD.tokens("text"))).as("tok"))
       .withColumn("th", expr(SparkD.md5Bits("tok", 1)))
       .withColumn("th2", expr(SparkD.md5Bits("tok", 9)))
@@ -133,7 +146,10 @@ object Dedup {
     // Exact n-gram Jaccard on the LSH candidates (verify stage).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val cand = queries("dedup_minhash_lsh")(s, dir)
-      val shs = Tables.table(s, dir, "documents")
+      // Tables.spread: the shingle explode (~290 rows/doc) otherwise runs
+      // on the single scan split; counts/joins downstream are
+      // order-insensitive.
+      val shs = Tables.spread(Tables.table(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), explode(expr(
           s"array_distinct(${SparkD.shingles("text")})")).as("sh"))
       val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -170,14 +186,20 @@ object Dedup {
     // Duplicate-cluster representatives: connected components over the
     // VERIFIED near-dup pairs (jaccard ≥ 0.5), each doc labelled with its
     // component minimum — the "keep one copy per duplicate cluster" stage
-    // every web-dedup pipeline ends with. Min-label propagation (the
-    // Clump/basin pointer-jumping family): per round one equi-join of the
-    // edge list to the label frame + one min aggregate, O(component
-    // diameter) rounds — near-dup clusters are shallow (pairs chain
-    // through shared shingle cores), and the hot-bucket caps upstream
-    // bound any single component's size, so no giant-component round
-    // blow-up at corpus scale. Convergence asserted; twin re-derives
-    // labels by full recursive transitive closure (round-free).
+    // every web-dedup pipeline ends with. Min-label propagation with
+    // POINTER JUMPING (rep := min(rep, neighbours' rep, rep-of-rep)): the
+    // remaining distance to the component minimum at least halves each
+    // round, so convergence is O(log diameter) rounds and the 16-round cap
+    // covers components of diameter up to 2^16 — far beyond anything a
+    // chain of near-dup pairs can build; the require below still fails
+    // fast (never silently corrupts) if that bound is somehow exceeded.
+    // Per round: the edge-list equi-join + min aggregate, one label-table
+    // self-join for the jump, and ONE tiny change-count job over the
+    // checkpointed frame (the former exceptAll + two count() actions were
+    // three extra Spark jobs per round for the same predicate — the left
+    // join preserves cardinality, so rep-change detection is sufficient).
+    // Convergence asserted; twin re-derives labels by full recursive
+    // transitive closure (round-free).
     "dedup_clusters" -> ((s, dir) => {
       val jp = queries("dedup_ngram_jaccard")(s, dir)
         .filter("jaccard >= 0.5e0").select("a", "b")
@@ -190,11 +212,17 @@ object Dedup {
         val nbrMin = e.toDF("d", "nb")
           .join(lab.selectExpr("d AS nb", "rep AS nrep"), "nb")
           .groupBy("d").agg(min("nrep").as("mn"))
+        // every rep value is a vertex id (labels are propagated ids), so
+        // the rep-of-rep lookup always finds a row; left+coalesce keeps
+        // the plan null-safe anyway.
         val next = lab.join(nbrMin, Seq("d"), "left")
-          .selectExpr("d", "least(rep, coalesce(mn, rep)) AS rep")
+          .selectExpr("d", "rep", "least(rep, coalesce(mn, rep)) AS rep1")
+          .join(lab.selectExpr("d AS jd", "rep AS rep2"),
+            col("rep1") === col("jd"), "left")
+          .selectExpr("d", "rep AS prev", "least(rep1, coalesce(rep2, rep1)) AS rep")
           .localCheckpoint()
-        done = next.exceptAll(lab).isEmpty && next.count() == lab.count()
-        lab = next
+        done = next.filter("rep <> prev").isEmpty
+        lab = next.select("d", "rep")
         rounds += 1
       }
       require(done, "dedup cluster label propagation must converge")

@@ -189,10 +189,17 @@ object Dem {
       var next = cur
       for (_ <- 0 until checkEvery) next = fresh(step(next))
       rounds += checkEvery
-      // exceptAll alone only proves next ⊆ cur as multisets; equal counts
-      // close the gap to true equality, so the helper stays safe for any
-      // step function, not just one-row-per-key preserving ones (ADVICE r4)
-      done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      // Exact MULTISET equality in ONE Spark job (the former
+      // count+count+exceptAll predicate launched three jobs per check, ~39
+      // fixpoint call sites × up to 50 checks each): tag rows ±1, group by
+      // every column, and require all signed counts to cancel. Grouping
+      // equality (null==null, NaN==NaN, -0.0==0.0) matches exceptAll's, so
+      // the predicate is unchanged for any step function.
+      val cols = next.columns.map(col).toSeq
+      done = next.withColumn("__s", lit(1))
+        .unionByName(cur.withColumn("__s", lit(-1)))
+        .groupBy(cols: _*).agg(sum(col("__s")).as("__d"))
+        .filter(col("__d") =!= 0).isEmpty
       cur = next
     }
     require(done, s"$what fixpoint did not converge within $maxRounds rounds")

@@ -32,17 +32,42 @@ object Knn {
   private def bucket(e: String, w: Double): String =
     s"cast(floor(($e) / ${Lit.d(w)}) as bigint)"
 
-  /** Pages with FRS bucket keys at width w. */
+  /** Pages with FRS bucket keys at width w.
+    *
+    * lon/lat/bx/by are wrapped non-nullable (coalesce with impossible
+    * sentinels): the bucket-equi join + d² residual otherwise infer
+    * isnotnull() on all four, and the pushed-down filter substitutes the
+    * geocode chain — re-evaluating the md5 digest once more per page at
+    * the scan (see the r06 before-plan for knn_radius). Values are
+    * unchanged (text is never null); hypothetically-null rows would yield
+    * NaN coords whose d² comparison is false and a bucket that cannot
+    * match, i.e. the same dropped row. */
   private[ops] def bucketed(s: SparkSession, dir: String, w: Double): DataFrame =
     Tables.pages(s, dir)
-      .select(col("doc_id"), col("lon"), col("lat"), col("n_chars"),
-              expr(bucket("lon", w)).as("bx"), expr(bucket("lat", w)).as("by"))
+      .select(col("doc_id"),
+              coalesce(col("lon"), lit(Double.NaN)).as("lon"),
+              coalesce(col("lat"), lit(Double.NaN)).as("lat"),
+              col("n_chars"),
+              coalesce(expr(bucket("lon", w)), lit(Long.MinValue)).as("bx"),
+              coalesce(expr(bucket("lat", w)), lit(Long.MinValue)).as("by"))
 
-  /** Explode the 5×5 block offsets (fixed_radius_search.rs:71-78). */
+  /** Explode the bucket-block offsets around a query.
+    *
+    * r06 optimization: bucket width w = r with a 3×3 block (span 1)
+    * replaces the reference's w = r/2 with a 5×5 block (span 2,
+    * fixed_radius_search.rs:71-78). Coverage proof: for a query in bucket
+    * k = floor(q/w), any point within distance r has coordinate in
+    * [q-r, q+r] ⊆ [w(k-1), w(k+2)), i.e. bucket k-1..k+1 — the 3×3 block
+    * is exact for radius ≤ w. The exploded side shrinks 25/9 ≈ 2.8× (it
+    * is the broadcast build side in every consumer) and each query does 9
+    * hash probes instead of 25; the residual d² filter is unchanged and
+    * exact, so the RESULT and even the per-group aggregation input order
+    * (pts-scan order) are identical. */
+  private[ops] val blockSpan = 1
   private[ops] def withBlock(df: DataFrame, w: Double,
                         x: String, y: String): DataFrame =
-    df.withColumn("dx", explode(sequence(lit(-2), lit(2))))
-      .withColumn("dy", explode(sequence(lit(-2), lit(2))))
+    df.withColumn("dx", explode(sequence(lit(-blockSpan), lit(blockSpan))))
+      .withColumn("dy", explode(sequence(lit(-blockSpan), lit(blockSpan))))
       .withColumn("bx", expr(bucket(x, w)) + col("dx"))
       .withColumn("by", expr(bucket(y, w)) + col("dy"))
 
@@ -53,8 +78,20 @@ object Knn {
 
     // k=5 nearest pages within r=0.01° for every page in the NYC hot cells.
     "knn_radius" -> ((s, dir) => {
-      val r = 0.01; val w = r / 2.0
+      val r = 0.01; val w = r // 3×3 block at width r — see withBlock
+      // Static semi-join reduction of the big side (guide §3.2): every
+      // query qx/qy lies in the NYC box, so a joinable point's bucket must
+      // lie within the box's bucket range ± the 2-bucket block offset —
+      // floor is monotone and the bound is computed with the same IEEE
+      // double ops as the bucket key, so no matching row can be dropped.
+      // At corpus scale this prunes ~everything outside the query region
+      // from the probe side before any join work; result set unchanged.
+      val bxLo = math.floor(-74.05 / w).toLong - blockSpan
+      val bxHi = math.floor(-73.85 / w).toLong + blockSpan
+      val byLo = math.floor(40.65 / w).toLong - blockSpan
+      val byHi = math.floor(40.85 / w).toLong + blockSpan
       val pts = bucketed(s, dir, w)
+        .filter(col("bx").between(bxLo, bxHi) && col("by").between(byLo, byHi))
       val q = withBlock(
         Tables.pages(s, dir).filter(expr(nycBox))
           .select(col("doc_id").as("qid"), col("lon").as("qx"), col("lat").as("qy")),
@@ -78,7 +115,7 @@ object Knn {
     "nn_gridding" -> ((s, dir) => {
       val res = 7; val n = 1 << res
       val rx = 360.0 / n; val ry = 180.0 / n
-      val maxD = 2.0; val w = maxD / 2.0
+      val maxD = 2.0; val w = maxD // 3×3 block at width maxD — see withBlock
       val cells = s.range(n.toLong * n)
         .select((col("id") % n).as("ix"), expr(s"id div $n").as("iy"))
         .withColumn("cx", expr(s"-180.0e0 + ${Lit.d(rx)} / 2.0e0 + ix * ${Lit.d(rx)}"))
@@ -102,7 +139,7 @@ object Knn {
     "idw_interpolation" -> ((s, dir) => {
       val res = 7; val n = 1 << res
       val rx = 360.0 / n; val ry = 180.0 / n
-      val r = 3.0; val w = r / 2.0
+      val r = 3.0; val w = r // 3×3 block at width r — see withBlock
       val cells = s.range(n.toLong * n)
         .select((col("id") % n).as("ix"), expr(s"id div $n").as("iy"))
         .withColumn("cx", expr(s"-180.0e0 + ${Lit.d(rx)} / 2.0e0 + ix * ${Lit.d(rx)}"))

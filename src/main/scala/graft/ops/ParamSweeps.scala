@@ -80,7 +80,7 @@ object ParamSweeps {
   private def idw(s: SparkSession, dir: String, wExp: Int): DataFrame = {
     val res = 7; val n = 1 << res
     val rx = 360.0 / n; val ry = 180.0 / n
-    val r = 3.0; val w = r / 2.0
+    val r = 3.0; val w = r // 3×3 block at width r — see Knn.withBlock
     val (swzE, swE) = idwKernel(wExp)
     val cells = s.range(n.toLong * n)
       .select((col("id") % n).as("ix"), expr(s"id div $n").as("iy"))

@@ -50,17 +50,43 @@ object PipJoin {
     }.toDF("cell", "fid", "ringId", "isHole", "xs", "ys")
   }
 
-  /** Add ix/iy/cell columns at `res` to a lat/lon DataFrame. */
+  /** Add ix/iy/cell columns at `res` to a lat/lon DataFrame.
+    *
+    * `cell` is wrapped in coalesce(…, -1) to make the join key provably
+    * NON-NULLABLE: without it the planner infers `isnotnull(cell)` for the
+    * cell-equi join and pushes it below the projection, substituting the
+    * full graft_cell(graft_geocode(text)…) chain into the Filter — every
+    * page then pays the md5 geocode TWICE (once in the pushed filter, once
+    * in the projection; visible in the r06 before-plans). lat/lon are
+    * never null (text is never null), so the sentinel never occurs; if it
+    * ever did, -1 is not a valid Morton cell and matches no ring cell —
+    * the join result is identical either way. */
   def withCell(df: DataFrame, res: Int,
                latCol: String = "lat", lonCol: String = "lon"): DataFrame =
     df.withColumn("ix", expr(Geo.ix(SparkD, lonCol, res)))
       .withColumn("iy", expr(Geo.iy(SparkD, latCol, res)))
-      .withColumn("cell", Cells.mortonCell(col("ix"), col("iy"), res))
+      .withColumn("cell", coalesce(Cells.mortonCell(col("ix"), col("iy"), res), lit(-1L)))
 
   /** Ring side grouped per (cell, fid): hull and hole rings as nested
     * arrays, so membership resolves in ONE map-side expression per
     * (page, zone) — no shuffle of the page side at all. */
   def ringCellsGrouped(spark: SparkSession, rings: Seq[Ring], res: Int): DataFrame = {
+    // Plan-level memo for the static zone fixture: the grouped ring frame
+    // is pure driver data (LocalTableScan) and identical for every query
+    // in a session; rebuilding it paid the Dataset-encoder derivation +
+    // local relation conversion on every query build. Reference equality
+    // on the rings Seq keeps non-default callers uncached. No data or
+    // results are cached — this is a driver-side literal table.
+    if (rings eq Zones.worldZones)
+      rcGroupedCache.computeIfAbsent((spark, res),
+        _ => buildRingCellsGrouped(spark, rings, res))
+    else buildRingCellsGrouped(spark, rings, res)
+  }
+
+  private val rcGroupedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), DataFrame]()
+
+  private def buildRingCellsGrouped(spark: SparkSession, rings: Seq[Ring], res: Int): DataFrame = {
     import spark.implicits._
     rings.flatMap { r =>
       coverCells(r.minX, r.maxX, r.minY, r.maxY, res).map(c => (c, r))
@@ -79,13 +105,13 @@ object PipJoin {
     * graft_pip_any after the broadcast cell join. */
   def zoneMembership(spark: SparkSession, pages: DataFrame,
                      rings: Seq[Ring] = Zones.worldZones,
-                     res: Int = 6): DataFrame = {
+                     res: Int = 6, keep: Seq[String] = Nil): DataFrame = {
     val p = withCell(pages, res)
     val rc = ringCellsGrouped(spark, rings, res)
     p.join(broadcast(rc), "cell")
       .filter(PipAny.pipAny(col("lon"), col("lat"), col("hxs"), col("hys")) &&
         !PipAny.pipAny(col("lon"), col("lat"), col("oxs"), col("oys")))
-      .select("doc_id", "fid")
+      .select(("doc_id" +: "fid" +: keep).map(col): _*)
   }
 
   /** DEGRADED PATH, exercised by the gated `pip_zonal_count_shuffled`

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * A document survives iff
   *   1. language-ID resolves (pred_lang <> 'und'),
-  *   2. quality >= 0.5,
+  *   2. quality >= 0.55 (qualityMin below),
   *   3. it is not an exact duplicate (byte-identical md5 group min), and
   *   4. it is not a non-representative member of a verified near-dup
   *      cluster (keep-min rule over the Jaccard-verified LSH pairs).

@@ -13,13 +13,44 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Metadata memoization (guide §1/§6 "measure the overhead too"): every
+  // `spark.read.parquet` call re-lists the path and re-reads the footer on
+  // the DRIVER (~50-60 ms each), and `register` did that for all 10 tables
+  // on EVERY Tables.pages call — ~0.6 s of pure driver time per query build
+  // (measured via BenchExtra: pages-based headline queries spent
+  // 0.65-1.4 s in build vs 0.13 s for the memoized-free dedup/ann paths).
+  // The cache stores the lazy DataFrame (a logical plan — NO data, NO
+  // results), keyed per live session so a new session never reuses plans
+  // from a stopped one. Every action still scans the parquet files.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   def register(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { n =>
-      spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n)
-    }
+    if (registered.add((spark, sfDir)))
+      names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    dfCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
+
+  /** Scale-adaptive parallelism rescue for expensive per-row work (guide
+    * §2.2/§2.5 "input skew: one huge unsplittable file"): the fixture
+    * tables are ONE parquet file each, so a scan is ONE split and any
+    * per-row digest/geometry work downstream of it runs on a single core.
+    * When (and only when) the file layout yields fewer splits than the
+    * session's parallelism, hash-repartition by `key` — a tiny shuffle at
+    * fixture scale. At corpus scale the scan already has >= cores splits
+    * and this is the identity, so the heavy payload is never shuffled
+    * (guide §8: move big rows once). */
+  private[ops] def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // explicit numPartitions: an N-less repartition(col) is a coalescable
+    // shuffle under AQE, which re-merges the tiny fixture exchange back to
+    // ONE partition and defeats the parallelism rescue entirely.
+    if (df.inputFiles.length >= want) df else df.repartition(want, key)
+  }
 
   /** pages(doc_id, url, text, lang, source, n_chars, lat, lon) — geocoded
     * page corpus. The Spark plan uses the single-digest GeocodeExpr

@@ -30,11 +30,17 @@ object Zonal {
     "cast(sum(n_chars) as bigint) AS s, cast(sum(n_chars * n_chars) as bigint) AS q, " +
       "count(*) AS n, min(n_chars) AS mn, max(n_chars) AS mx"
 
-  private def membershipWithVals(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.pages(s, dir)
-    PipJoin.zoneMembership(s, p)
-      .join(p.select("doc_id", "n_chars", "lon", "lat"), "doc_id")
-  }
+  private def membershipWithVals(s: SparkSession, dir: String): DataFrame =
+    // Carry the value columns THROUGH the membership broadcast join instead
+    // of re-joining pages on doc_id afterwards (guide §2.4 "remove shuffles
+    // outright" / avoid recomputed subtrees): the old shape scanned pages
+    // twice and planned a second join whose only purpose was re-attaching
+    // columns the first scan already had. Row multiset identical (the
+    // doc_id join was 1:1); at fixture scale the rows also stream in the
+    // same single-scan order, so even order-sensitive double sums
+    // (centroid) are bit-identical.
+    PipJoin.zoneMembership(s, Tables.pages(s, dir),
+      keep = Seq("n_chars", "lon", "lat"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zonal_statistics" -> ((s, dir) => {
