@@ -62,6 +62,16 @@ object BenchExtra {
       if (names.length > 20) df.write.format("noop").mode("overwrite").save()
       else df.count()
       val cold = (System.nanoTime() - t1) / 1e9
+      // post-execution (AQE-final) plan: shows ReusedExchange / skew-split
+      // decisions the static explain cannot (guide §7.2). toRdd executes
+      // the df's OWN query execution so its AdaptiveSparkPlan finalizes.
+      if (names.length <= 20) plansDir.foreach { d =>
+        val qe = df.queryExecution
+        qe.toRdd.foreach(_ => ())
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$d/${name}_${suffix}_executed.txt"),
+          qe.executedPlan.toString)
+      }
       def rerun(): Double = {
         val t = System.nanoTime()
         fn(spark, sfDir).count()

@@ -53,6 +53,13 @@ object Dedup {
     * bit-equality against the exploded twin-SQL form, which remains the
     * DuckDB oracle). */
   private[ops] def signatures(s: SparkSession, dir: String): DataFrame =
+    Dem.memo(s, dir, "dedup_sigs") { signaturesBuild(s, dir) }
+
+  // memoized per session+dir (Dem.memo pattern, as density/dem/fa): the
+  // signature table is an O(corpus-rows × 17 ints) bounded intermediate
+  // recomputed by SIX gated queries per session (signatures, lsh, b16,
+  // jaccard, clusters, and the corpus_clean trio via clusters).
+  private def signaturesBuild(s: SparkSession, dir: String): DataFrame =
     // Tables.spread: the fixture `documents` is one parquet file = one scan
     // split, so the whole MinHash pass (one md5 per shingle ≈ 290
     // digests/doc — the dominant cost of this query family) ran on a
@@ -94,7 +101,11 @@ object Dedup {
     case SparkD => "" // Spark side built with the DataFrame API below
   }
 
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    // memoized: recomputed by three gated queries per session
+    Dem.memo(s, dir, "dedup_simhash") { simhashesBuild(s, dir) }
+
+  private def simhashesBuild(s: SparkSession, dir: String): DataFrame = {
     // Tables.spread: parallelize the token explode + 2 md5/token off the
     // single-file scan split (same rationale as `signatures`); the sign
     // sums are integer aggregates — order-insensitive.
@@ -201,6 +212,21 @@ object Dedup {
     // Convergence asserted; twin re-derives labels by full recursive
     // transitive closure (round-free).
     "dedup_clusters" -> ((s, dir) => {
+      val lab = clusterLabels(s, dir)
+      val sz = lab.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+      lab.join(sz, "rep")
+        .selectExpr("d AS doc_id", "rep", "cluster_size")
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Near-dup cluster labels (d, rep) — the converged min-label frame.
+    * Memoized per session+dir (Dem.memo pattern): the whole iterative
+    * chain (LSH candidates → jaccard verify → label fixpoint) was
+    * otherwise re-executed by FOUR gated queries per session
+    * (dedup_clusters + the three corpus_clean gates). */
+  private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    Dem.memo(s, dir, "dedup_labels") {
       val jp = queries("dedup_ngram_jaccard")(s, dir)
         .filter("jaccard >= 0.5e0").select("a", "b")
       val e = jp.unionByName(jp.selectExpr("b AS a", "a AS b")).localCheckpoint()
@@ -226,12 +252,8 @@ object Dedup {
         rounds += 1
       }
       require(done, "dedup cluster label propagation must converge")
-      val sz = lab.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
-      lab.join(sz, "rep")
-        .selectExpr("d AS doc_id", "rep", "cluster_size")
-        .orderBy("doc_id")
-    })
-  )
+      lab
+    }
 
   /** Chunk-blocked simhash near-dup pairs at hamming ≤ maxH (maxH ≤ 3
     * keeps the 4-chunk pigeonhole lossless: 4 equal-chunk misses need

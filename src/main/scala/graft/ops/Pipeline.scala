@@ -46,7 +46,10 @@ object Pipeline {
     val lang = Text.queries("lang_id")(s, dir).select("doc_id", "pred_lang")
     val qual = Text.queries("text_quality")(s, dir).select("doc_id", "quality")
     val exact = Text.queries("dedup_exact")(s, dir).select("doc_id", "is_dup")
-    val near = Dedup.queries("dedup_clusters")(s, dir).select("doc_id", "rep")
+    // clusterLabels directly (same (doc_id, rep) content as the
+    // dedup_clusters gate) — skips that gate's size-join + sort and shares
+    // the session-memoized label fixpoint.
+    val near = Dedup.clusterLabels(s, dir).selectExpr("d AS doc_id", "rep")
     lang.join(qual, "doc_id").join(exact, "doc_id")
       .join(near, Seq("doc_id"), "left")
       .withColumn("lang_ok", expr("pred_lang <> 'und'"))

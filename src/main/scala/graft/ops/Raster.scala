@@ -23,12 +23,29 @@ object Raster {
     s"SELECT ${Geo.ix(dl, "lon", res)} AS ix, ${Geo.iy(dl, "lat", res)} AS iy, " +
       s"count(*) AS v FROM pages GROUP BY 1, 2"
 
-  /** Spark-side density grid. */
+  /** Spark-side density grid.
+    *
+    * r06: memoized per (session, dir, res) via the Dem.memo pattern (an
+    * in-session checkpointed INTERMEDIATE, recomputed from parquet in every
+    * session — the same discipline as Dem.dem/dd/fa since r3). Without it,
+    * every halo self-join evaluated the scan + geocode + density aggregate
+    * TWICE per query (the two join branches are different aggregates —
+    * distinct cells vs counts — so exchange reuse can never merge them;
+    * verified in plans/r06/focal_stats executed plans), and every density
+    * consumer in a Verify session re-ran the same sub-job. The grid is
+    * bounded by 4^res cells, never by corpus size, so the checkpoint is
+    * O(grid).
+    *
+    * ix/iy additionally wrapped non-nullable (impossible sentinel; text is
+    * never null) so downstream equi-joins don't infer isnotnull filters
+    * that re-evaluate the geocode chain at the scan. */
   def density(s: SparkSession, dir: String, res: Int): DataFrame =
-    Tables.pages(s, dir)
-      .withColumn("ix", expr(Geo.ix(SparkD, "lon", res)))
-      .withColumn("iy", expr(Geo.iy(SparkD, "lat", res)))
-      .groupBy("ix", "iy").agg(count(lit(1)).as("v"))
+    Dem.memo(s, dir, s"density_$res") {
+      Tables.pages(s, dir)
+        .withColumn("ix", coalesce(expr(Geo.ix(SparkD, "lon", res)), lit(Long.MinValue)))
+        .withColumn("iy", coalesce(expr(Geo.iy(SparkD, "lat", res)), lit(Long.MinValue)))
+        .groupBy("ix", "iy").agg(count(lit(1)).as("v"))
+    }
 
   /** Reference nodata discipline stand-in: a deterministic stripe of cells
     * is declared nodata ((ix+iy) % 13 == 0), mirroring FIXTURES.md §3. */
