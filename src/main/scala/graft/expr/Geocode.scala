@@ -31,19 +31,44 @@ object Geocode {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def hashWords(textBytes: Array[Byte]): (Long, Long, Long) = {
-    val md = digest.get()
-    md.reset()
-    val d = md.digest(textBytes)
+  // r06: digest into a reused thread-local buffer (MessageDigest.digest()
+  // otherwise allocates 16 bytes per row) and hash the UTF8String's bytes
+  // in place via its ByteBuffer view (getBytes() otherwise copies the
+  // whole text per row) — two fewer allocations per page on the flagship
+  // hot path (guide §1.2 step 2).
+  private val outBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  private def digestWords(md: java.security.MessageDigest): (Long, Long, Long) = {
+    val d = outBuf.get()
+    md.digest(d, 0, 16)
     def word(o: Int): Long =
       ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
         ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
     (word(0), word(4), word(8))
   }
 
+  def hashWords(textBytes: Array[Byte]): (Long, Long, Long) = {
+    val md = digest.get()
+    md.reset()
+    md.update(textBytes)
+    digestWords(md)
+  }
+
+  def hashWords(text: UTF8String): (Long, Long, Long) = {
+    val md = digest.get()
+    md.reset()
+    md.update(text.getByteBuffer)
+    digestWords(md)
+  }
+
   /** Scalar twin of Geo.lat/Geo.lon (Dialect.scala). */
-  def latLon(textBytes: Array[Byte]): Array[Double] = {
-    val (h1, h2, h3) = hashWords(textBytes)
+  def latLon(textBytes: Array[Byte]): Array[Double] =
+    latLonFrom(hashWords(textBytes))
+
+  private def latLonFrom(words: (Long, Long, Long)): Array[Double] = {
+    val (h1, h2, h3) = words
     val urban = h1 % 10 < 2
     val lat =
       if (urban) {
@@ -60,7 +85,7 @@ object Geocode {
 
   /** Runtime entry shared by interpreted + generated code. */
   def eval(text: UTF8String): GenericArrayData =
-    new GenericArrayData(latLon(text.getBytes))
+    new GenericArrayData(latLonFrom(hashWords(text)))
 
   def geocode(text: Column): Column =
     Shim.column(GeocodeExpr(Shim.expression(text)))

@@ -29,30 +29,44 @@ object MinHash {
 
   private val nHashes = 16
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
+  /** r06 per-task-work optimization (guide §1.2 step 2): the former loop
+    * allocated a UTF8String + byte[] per shingle (substringSQL/getBytes)
+    * and paid MessageDigest's per-call output allocation — ~870 short-
+    * lived allocations per ~300-char document. This version copies the
+    * document's bytes ONCE, walks UTF-8 char boundaries with a 9-slot
+    * offset ring, and hashes each 8-char window in place with the
+    * single-block Md5Kernel (every window is ≤ 48 bytes). Bit-identical
+    * by construction: substring(i, 8) is exactly the byte range between
+    * char starts i and i+8, and Md5KernelSpec pins the kernel word
+    * against MessageDigest. MinHashSpec still pins this whole expression
+    * against the exploded twin SQL. */
   def eval(text: UTF8String): GenericArrayData = {
-    val md = digest.get()
+    val bytes = text.getBytes
+    val len = bytes.length
     val mins = Array.fill(nHashes)(Long.MaxValue)
-    val n = math.max(text.numChars() - 7, 1)
-    var i = 1
-    while (i <= n) {
-      val sh = text.substringSQL(i, 8)
-      md.reset()
-      val d = md.digest(sh.getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    def update(h: Long): Unit = {
       var j = 0
       while (j < nHashes) {
         val v = (h * (2 * j + 1) + j.toLong * 2654435761L) % 4294967296L
         if (v < mins(j)) mins(j) = v
         j += 1
       }
-      i += 1
     }
+    val ring = new Array[Int](9)
+    var pos = 0
+    var nch = 0
+    while (pos < len) {
+      ring(nch % 9) = pos
+      nch += 1
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      if (pos > len) pos = len // clamp, mirroring numChars()' walk
+      if (nch >= 8) {
+        val s = ring((nch - 8) % 9)
+        update(Md5Kernel.firstWord(bytes, s, pos - s))
+      }
+    }
+    // shorter than 8 chars: the single whole-text shingle (n = 1 case)
+    if (nch < 8) update(Md5Kernel.firstWord(bytes, 0, len))
     new GenericArrayData(mins)
   }
 

@@ -67,9 +67,18 @@ object Sibson {
         "left_anti")
     // rf bound is CONSERVATIVE (+1 absorbs any float-sqrt rounding); the
     // exact integer predicate below decides membership.
+    // r06 guard (VERDICT r5 "what's wrong" #5): a genuinely remote fine
+    // cell explodes (2rf+1)² candidate offsets — bounded by grid diagonal
+    // at fixture scale, but a corpus-scale ocean cell would explode
+    // millions of rows. Until the two-level far-cell capture (the
+    // Distance.scala machinery) is routed here, fail LOUDLY instead of
+    // silently materialising a quadratic explode.
     val stolen = alloc
-      .withColumn("rf", expr("CASE WHEN d2 <= 1 THEN cast(0 as bigint) " +
+      .withColumn("rf0", expr("CASE WHEN d2 <= 1 THEN cast(0 as bigint) " +
         "ELSE cast(floor(sqrt(cast(d2 - 1 as double))) as bigint) + 1 END"))
+      .withColumn("rf", expr("CASE WHEN rf0 <= 4096 THEN rf0 " +
+        "ELSE cast(raise_error('sibson: capture radius explode (rf > 4096); " +
+        "route far cells through a coarse second pass') as bigint) END"))
       .withColumn("dx", explode(expr("sequence(-rf, rf)")))
       .withColumn("dy", explode(expr("sequence(-rf, rf)")))
       .selectExpr("ix", "iy", "d2", "src_ix", "src_iy",
