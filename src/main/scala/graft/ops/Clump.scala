@@ -51,14 +51,29 @@ object Clump {
         .agg(min("nbr_label").as("nmin"), first("label").as("label"))
         .select(col("ix"), col("iy"), col("v"), col("label"),
           when(col("nmin") < col("label"), col("nmin")).otherwise(col("label")).as("cand"))
-      // phase 2 (large-star / pointer jumping): contract every current
-      // label-group to its min candidate — turns O(diameter) rounds into
-      // O(log diameter)
+      // phase 2 (large-star): contract every current label-group to its
+      // min candidate. NOTE (r06): in early rounds label-groups are
+      // singletons, so this phase alone left convergence O(diameter) —
+      // measured ~70 rounds on the fixture grid (changed declined
+      // linearly), ~70 s of round-trip overhead for a 1k-cell grid.
       val groupMin = cand.groupBy("label").agg(min("cand").as("gmin"))
-      val next = cand.join(groupMin, "label")
+      // phase 3 (r06, pointer jumping on the label VALUE): every label is
+      // the cell id of a member of the SAME component (small-star only
+      // propagates between same-value neighbours), so jumping to that
+      // representative cell's CURRENT label at least halves the remaining
+      // distance to the component minimum — O(log diameter) rounds, same
+      // fixpoint (labels only decrease and never leave the component, so
+      // the converged state is still the component min; ClumpSpec pins
+      // the partition against the scalar flood fill).
+      val half = cand.join(groupMin, "label")
+        .select(col("ix"), col("iy"), col("v"), col("label"),
+          least(col("cand"), col("gmin")).as("cand2"))
+      val idLab = half.select(
+        (col("ix") * 1000000 + col("iy")).as("rid"), col("cand2").as("rlab"))
+      val next = half.join(idLab, col("cand2") === col("rid"), "left")
         .select(col("ix"), col("iy"), col("v"),
-          least(col("cand"), col("gmin")).as("label"),
-          (least(col("cand"), col("gmin")) < col("label")).as("changed"))
+          least(col("cand2"), coalesce(col("rlab"), col("cand2"))).as("label"),
+          (least(col("cand2"), coalesce(col("rlab"), col("cand2"))) < col("label")).as("changed"))
       val materialized = next.localCheckpoint()
       changedCount = materialized.filter(col("changed") === true).count()
       labels = materialized.drop("changed")

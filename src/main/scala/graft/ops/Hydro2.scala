@@ -121,13 +121,16 @@ object Hydro2 {
             len.selectExpr("ix AS tx", "iy AS ty", "nc AS dnc", "nd AS dnd"),
             Seq("tx", "ty"))
           .selectExpr("ix", "iy", "ec + dnc AS nc2", "ed + dnd AS nd2")
-        val next = grid.join(stepped, Seq("ix", "iy"), "left")
-          .selectExpr("ix", "iy", "coalesce(nc2, 0) AS nc", "coalesce(nd2, 0) AS nd")
+        // r06: len already covers every grid cell, so joining the step
+        // onto len (not grid) lets the change flag ride INSIDE the
+        // checkpointed frame — one filter-count job per round instead of
+        // a join + count (guide §1.2: fewer driver jobs per round).
+        val next = len.join(stepped, Seq("ix", "iy"), "left")
+          .selectExpr("ix", "iy", "coalesce(nc2, 0) AS nc0", "coalesce(nd2, 0) AS nd0",
+            "(coalesce(nc2, 0) <> nc OR coalesce(nd2, 0) <> nd) AS changed")
           .localCheckpoint()
-        changed = next.selectExpr("ix", "iy", "nc AS nc2", "nd AS nd2")
-          .join(len, Seq("ix", "iy"))
-          .filter(expr("nc2 <> nc OR nd2 <> nd")).count()
-        len = next
+        changed = next.filter(col("changed")).count()
+        len = next.selectExpr("ix", "iy", "nc0 AS nc", "nd0 AS nd")
         rounds += 1
       }
       len.selectExpr("ix", "iy", s"${lenOf("nc", "nd")} AS flowpath_len")
@@ -147,15 +150,16 @@ object Hydro2 {
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 64) {
+        // r06: change flag computed inline (old rx/ry are on the join's
+        // left side) — one filter-count job per round instead of join+count
         val next = p.join(
             p.selectExpr("ix AS rx", "iy AS ry", "rx AS rx2", "ry AS ry2"),
             Seq("rx", "ry"))
-          .selectExpr("ix", "iy", "rx2 AS rx", "ry2 AS ry")
+          .selectExpr("ix", "iy", "rx2", "ry2",
+            "(rx2 <> rx OR ry2 <> ry) AS changed")
           .localCheckpoint()
-        changed = next.selectExpr("ix", "iy", "rx AS nrx", "ry AS nry")
-          .join(p, Seq("ix", "iy"))
-          .filter(expr("nrx <> rx OR nry <> ry")).count()
-        p = next
+        changed = next.filter(col("changed")).count()
+        p = next.selectExpr("ix", "iy", "rx2 AS rx", "ry2 AS ry")
         rounds += 1
       }
       p.selectExpr("ix", "iy", "rx * 1000000 + ry AS basin")
@@ -179,13 +183,13 @@ object Hydro2 {
           .groupBy("ix", "iy")
           .agg(expr(s"max_by(named_struct('nc', cnc, 'nd', cnd), ${lenOf("cnc", "cnd")})").as("b"))
           .selectExpr("ix", "iy", "b.nc AS unc", "b.nd AS und")
-        val next = grid.join(cand, Seq("ix", "iy"), "left")
-          .selectExpr("ix", "iy", "coalesce(unc, 0) AS nc", "coalesce(und, 0) AS nd")
+        // r06: inline change flag (up covers the grid), one job per round
+        val next = up.join(cand, Seq("ix", "iy"), "left")
+          .selectExpr("ix", "iy", "coalesce(unc, 0) AS nc0", "coalesce(und, 0) AS nd0",
+            "(coalesce(unc, 0) <> nc OR coalesce(und, 0) <> nd) AS changed")
           .localCheckpoint()
-        changed = next.selectExpr("ix", "iy", "nc AS nc2", "nd AS nd2")
-          .join(up, Seq("ix", "iy"))
-          .filter(expr("nc2 <> nc OR nd2 <> nd")).count()
-        up = next
+        changed = next.filter(col("changed")).count()
+        up = next.selectExpr("ix", "iy", "nc0 AS nc", "nd0 AS nd")
         rounds += 1
       }
       up.selectExpr("ix", "iy", s"${lenOf("nc", "nd")} AS upslope_len")
