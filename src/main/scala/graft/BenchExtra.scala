@@ -20,8 +20,9 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val suiteMode = args.nonEmpty && args(0) == "suite"
     val names: Seq[String] =
-      if (args.nonEmpty && args(0) == "suite") SparkEntry.queries.keys.toSeq.sorted
+      if (suiteMode) SparkEntry.queries.keys.toSeq.sorted
       else if (args.nonEmpty && args(0).nonEmpty && args(0) != "all" && args(0) != "''")
         args(0).split(",").toSeq
       else Bench.headline
@@ -59,13 +60,13 @@ object BenchExtra {
       val t1 = System.nanoTime()
       // headline mode mirrors Bench (count); suite mode uses the noop sink
       // (guide §1.4) so every column is computed, like Verify's write.
-      if (names.length > 20) df.write.format("noop").mode("overwrite").save()
+      if (suiteMode) df.write.format("noop").mode("overwrite").save()
       else df.count()
       val cold = (System.nanoTime() - t1) / 1e9
       // post-execution (AQE-final) plan: shows ReusedExchange / skew-split
       // decisions the static explain cannot (guide §7.2). toRdd executes
       // the df's OWN query execution so its AdaptiveSparkPlan finalizes.
-      if (names.length <= 20) plansDir.foreach { d =>
+      if (!suiteMode) plansDir.foreach { d =>
         val qe = df.queryExecution
         qe.toRdd.foreach(_ => ())
         java.nio.file.Files.writeString(
@@ -78,7 +79,7 @@ object BenchExtra {
         (System.nanoTime() - t) / 1e9
       }
       // suite mode (hundreds of queries): cold-only, one line per query
-      val (w2, w3) = if (names.length > 20) (0.0, 0.0) else (rerun(), rerun())
+      val (w2, w3) = if (suiteMode) (0.0, 0.0) else (rerun(), rerun())
       println(f"$name%-28s $tBuild%8.3f $cold%8.3f $w2%8.3f $w3%8.3f")
     }
     spark.stop()

@@ -9,7 +9,7 @@ package graft.expr
   * pays update/pad bookkeeping per call, and the callers additionally
   * allocated a UTF8String + byte[] per shingle — three short-lived
   * allocations × ~290 shingles × every document in the corpus. The kernel
-  * reads the document's UTF-8 bytes in place and touches no heap.
+  * reads the document’s UTF-8 bytes in place with a reused per-thread block buffer.
   *
   * Standard RFC 1321 arithmetic; the K table is derived from the sine
   * definition at class init. Md5KernelSpec pins word-for-word equality
@@ -26,13 +26,18 @@ object Md5Kernel {
     4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
     6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
 
+  // reused per-thread block buffer (the Geocode.outBuf pattern): C2 cannot
+  // scalar-replace an array indexed by loop-variant subscripts, so a
+  // per-call `new Array[Int](16)` WOULD be a real heap allocation.
+  private val block = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](16)
+  }
+
   /** First digest word (bytes 0-3 read big-endian, as a value in
     * [0, 2^32)) of md5(bytes[off, off+len)). Requires len ≤ 55. */
   def firstWord(bytes: Array[Byte], off: Int, len: Int): Long = {
-    // build the single padded block as 16 little-endian words, no array:
-    // local vars m0..m15 via a small stack array (allocated on the JVM
-    // stack via escape analysis — it never escapes)
-    val m = new Array[Int](16)
+    val m = block.get()
+    java.util.Arrays.fill(m, 0)
     var i = 0
     while (i < len) {
       m(i >> 2) |= (bytes(off + i) & 0xff) << ((i & 3) << 3)

@@ -79,6 +79,10 @@ object Clump {
       labels = materialized.drop("changed")
       round += 1
     }
+    // fail fast, never emit partially-propagated labels (the Dem.converge
+    // / dedup_clusters discipline; review r06)
+    require(changedCount == 0,
+      s"clump label propagation did not converge within $maxRounds rounds")
     labels
   }
 }

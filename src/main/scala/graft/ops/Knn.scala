@@ -71,8 +71,13 @@ object Knn {
       .withColumn("bx", expr(bucket(x, w)) + col("dx"))
       .withColumn("by", expr(bucket(y, w)) + col("dy"))
 
-  // NYC hot-cell box (Z5) — the skewed query set.
-  private val nycBox = "lon >= -74.05e0 AND lon <= -73.85e0 AND lat >= 40.65e0 AND lat <= 40.85e0"
+  // NYC hot-cell box (Z5) — the skewed query set. The numeric bounds are
+  // shared with the knn_radius bucket-pruning filter (which must stay
+  // lossless wrt this box), so they exist once.
+  private val (nycX0, nycX1, nycY0, nycY1) = (-74.05, -73.85, 40.65, 40.85)
+  private val nycBox =
+    s"lon >= ${Lit.d(nycX0)} AND lon <= ${Lit.d(nycX1)} AND " +
+      s"lat >= ${Lit.d(nycY0)} AND lat <= ${Lit.d(nycY1)}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -86,10 +91,10 @@ object Knn {
       // double ops as the bucket key, so no matching row can be dropped.
       // At corpus scale this prunes ~everything outside the query region
       // from the probe side before any join work; result set unchanged.
-      val bxLo = math.floor(-74.05 / w).toLong - blockSpan
-      val bxHi = math.floor(-73.85 / w).toLong + blockSpan
-      val byLo = math.floor(40.65 / w).toLong - blockSpan
-      val byHi = math.floor(40.85 / w).toLong + blockSpan
+      val bxLo = math.floor(nycX0 / w).toLong - blockSpan
+      val bxHi = math.floor(nycX1 / w).toLong + blockSpan
+      val byLo = math.floor(nycY0 / w).toLong - blockSpan
+      val byHi = math.floor(nycY1 / w).toLong + blockSpan
       val pts = bucketed(s, dir, w)
         .filter(col("bx").between(bxLo, bxHi) && col("by").between(byLo, byHi))
       val q = withBlock(

@@ -24,16 +24,28 @@ object Tables {
   // from a stopped one. Every action still scans the parquet files.
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  // current registered dir PER SESSION: registration must re-point the
+  // views whenever the dir CHANGES (a memo keyed on (session, dir) alone
+  // would silently leave views at the previous dir when a session
+  // alternates fixtures — review r06), and must re-run when the session
+  // changes.
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   def register(spark: SparkSession, sfDir: String): Unit =
-    if (registered.add((spark, sfDir)))
+    if (registeredDir.put(spark, sfDir) != sfDir)
       names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // single-generation eviction (the Dem.memo discipline): only the
+    // current session's entries are retained, so stopped sessions' plans
+    // are never pinned by the cache. The map is ≤ #tables entries, so the
+    // sweep is trivial.
+    dfCache.keySet.removeIf(k => k._1 ne spark)
+    registeredDir.keySet.removeIf(k => k ne spark)
     dfCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       k => k._1.read.parquet(k._2))
+  }
 
   /** Scale-adaptive parallelism rescue for expensive per-row work (guide
     * §2.2/§2.5 "input skew: one huge unsplittable file"): the fixture
@@ -46,10 +58,15 @@ object Tables {
     * (guide §8: move big rows once). */
   private[ops] def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
+    // gate on SCAN SPLITS, not file count (review r06): a corpus stored as
+    // a few huge parquet files still yields many maxPartitionBytes splits,
+    // and shuffling its text payload would be exactly the corpus-scale
+    // regression this helper must never cause.
+    val splits = df.rdd.getNumPartitions
     // explicit numPartitions: an N-less repartition(col) is a coalescable
     // shuffle under AQE, which re-merges the tiny fixture exchange back to
     // ONE partition and defeats the parallelism rescue entirely.
-    if (df.inputFiles.length >= want) df else df.repartition(want, key)
+    if (splits >= want) df else df.repartition(want, key)
   }
 
   /** pages(doc_id, url, text, lang, source, n_chars, lat, lon) — geocoded
@@ -59,7 +76,7 @@ object Tables {
   def pages(spark: SparkSession, sfDir: String): DataFrame = {
     register(spark, sfDir)
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    table(spark, sfDir, "documents") // memoized plan, not a fresh footer read
       .withColumn("url", expr(
         "'https://site-' || cast(doc_id % 997 as string) || '.example/p/' || cast(doc_id as string)"))
       .withColumn("__geo", graft.expr.Geocode.geocode(col("text")))
